@@ -1,0 +1,261 @@
+"""Batched, checkpoint-resumable index build.
+
+Pipeline per batch of doc-id chunks (SURVEY.md §3.4):
+
+``docs slice → mapInPandas(tokenize + local partial postings)
+→ groupBy(term, chunk_id).applyInPandas(merge + delta/varbyte encode +
+block max-score metadata) → write postings/batch=K partitioned by term
+bucket → write doclens/batch=K → commit lineage row``
+
+* The ``(term, chunk_id)`` grouping key is the explicit doc-range salt:
+  a high-DF term is merged by many independent tasks whose outputs are
+  doc-range-disjoint, so reading them back in chunk order reconstructs the
+  docID-sorted posting list (distributed mirror of the reference's
+  disjoint-block concat, ``ingestion.py:473-485``).
+* Batch boundaries align with chunk boundaries, so a batch never rewrites
+  another batch's (term, chunk) rows — resume is append-only.  A batch is
+  visible only after its lineage row commits (Iceberg-snapshot-style
+  gating, see ``sources/index_store.py``).
+* ``finalize()`` (re)computes the collection stats + term_stats tables
+  from committed data; it is idempotent and safe to re-run after resume.
+
+Build metrics (docs/sec, postings/sec, bytes compressed) are recorded per
+batch in the lineage table.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.build.kernels import (
+    make_doclens_mapper,
+    make_merge_fn,
+    make_partials_mapper,
+)
+from search_engine_spark.sources.corpus import assign_doc_ids
+from search_engine_spark.sources.index_store import (
+    DOCLENS_SCHEMA,
+    IndexStore,
+    PARTIALS_SCHEMA,
+    POSTINGS_SCHEMA,
+)
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: EngineConfig | None = None,
+        title_col: str = "path",
+        body_col: str = "content",
+    ):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.store = IndexStore(spark, index_dir, self.config)
+        self.title_col = title_col
+        self.body_col = body_col
+
+    # ----- phase A: docs table (doc ids + sha256 + lengths) -----
+
+    def build_docs(self, corpus: DataFrame, overwrite: bool = False) -> None:
+        """Dense doc_id assignment + sha256 + tokenized lengths -> docs/."""
+        import os
+
+        if not overwrite and os.path.isdir(self.store.docs_path):
+            return  # phase A is itself a checkpoint
+        with_ids = assign_doc_ids(corpus)
+        lens = with_ids.select(
+            "doc_id",
+            F.col(self.title_col).alias("title"),
+            F.col(self.body_col).alias("body"),
+        ).mapInPandas(
+            make_doclens_mapper(self.config.tokenizer),
+            "doc_id long, doc_len int, title_len int",
+        )
+        (
+            with_ids.join(lens, "doc_id")
+            .select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256",
+                "doc_len", "title_len",
+            )
+            .write.mode("overwrite" if overwrite else "error")
+            .parquet(self.store.docs_path)
+        )
+
+    # ----- phase B: batched postings -----
+
+    def _batch_ranges(self, num_docs: int) -> list[tuple[int, int, int]]:
+        """[(batch_id, first_chunk, last_chunk_exclusive)] covering all docs."""
+        cfg = self.config
+        docs_per_batch = cfg.chunk_docs * cfg.chunks_per_batch
+        n_batches = (num_docs + docs_per_batch - 1) // docs_per_batch
+        return [
+            (b, b * cfg.chunks_per_batch, (b + 1) * cfg.chunks_per_batch)
+            for b in range(n_batches)
+        ]
+
+    def build_postings(
+        self, corpus: DataFrame, resume: bool = True, max_batches: int | None = None
+    ) -> list[dict]:
+        """Runs all (remaining) batches; returns per-batch metric dicts."""
+        cfg = self.config
+        docs = self.store.read_docs().select("doc_id", "repo", "path", "commit")
+        num_docs = docs.count()
+        done = set(self.store.committed_batches()) if resume else set()
+        # key the corpus by the already-committed doc ids (docs table is the
+        # single source of truth; keeps resume immune to any input
+        # repartitioning between runs)
+        corpus_keyed = corpus.join(docs, ["repo", "path", "commit"]).select(
+            "doc_id",
+            F.col(self.title_col).alias("title"),
+            F.col(self.body_col).alias("body"),
+        )
+        metrics = []
+        ran = 0
+        for batch_id, first_chunk, last_chunk in self._batch_ranges(num_docs):
+            if batch_id in done:
+                continue
+            if max_batches is not None and ran >= max_batches:
+                break
+            m = self._run_batch(corpus_keyed, batch_id, first_chunk, last_chunk)
+            metrics.append(m)
+            ran += 1
+        return metrics
+
+    def _run_batch(
+        self, corpus_keyed: DataFrame, batch_id: int, first_chunk: int, last_chunk: int
+    ) -> dict:
+        cfg = self.config
+        t0 = time.time()
+        lo = first_chunk * cfg.chunk_docs
+        hi = last_chunk * cfg.chunk_docs
+        batch_docs = corpus_keyed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+
+        partials = batch_docs.mapInPandas(
+            make_partials_mapper(cfg.tokenizer, cfg.chunk_docs), PARTIALS_SCHEMA
+        )
+        postings = partials.groupBy("term", "chunk_id").applyInPandas(
+            make_merge_fn(cfg.block_docs, cfg.n_term_buckets), POSTINGS_SCHEMA
+        )
+        (
+            postings.repartition("bucket")
+            .sortWithinPartitions("term", "chunk_id")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .partitionBy("bucket")
+            .parquet(self.store.postings_batch_path(batch_id))
+        )
+
+        # doclens chunks for this batch (from docs table — already tokenized)
+        doclens = (
+            self.store.read_docs()
+            .where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id", "doc_len", "title_len")
+            .withColumn("chunk_id", (F.col("doc_id") / cfg.chunk_docs).cast("long"))
+            .groupBy("chunk_id")
+            .applyInPandas(_doclens_encode, DOCLENS_SCHEMA)
+        )
+        doclens.write.mode("overwrite").parquet(
+            self.store.doclens_batch_path(batch_id)
+        )
+
+        # batch metrics from the written output (metadata-cheap scans)
+        written = self.spark.read.parquet(self.store.postings_batch_path(batch_id))
+        agg = written.agg(
+            F.count("*").alias("rows"),
+            F.sum("df").alias("postings"),
+            F.sum(
+                F.length("doc_ids")
+                + F.length("tfs_body")
+                + F.length("tfs_title")
+                + F.length("pos_body")
+                + F.length("pos_title")
+            ).alias("bytes"),
+        ).head()
+        n_docs = self.spark.read.parquet(
+            self.store.doclens_batch_path(batch_id)
+        ).agg(F.sum("n_docs")).head()[0]
+        wall = time.time() - t0
+        metric = {
+            "batch_id": batch_id,
+            "first_chunk": first_chunk,
+            "last_chunk": last_chunk,
+            "n_docs": int(n_docs or 0),
+            "n_postings": int(agg.postings or 0),
+            "n_rows_out": int(agg.rows),
+            "bytes_postings": int(agg.bytes or 0),
+            "wall_sec": wall,
+            "input_fingerprint": f"doc_id:[{lo},{hi})",
+            "engine_version": "0.1.0",
+        }
+        # lineage commit LAST — makes the batch visible
+        self.spark.createDataFrame([metric]).coalesce(1).write.mode("append").parquet(
+            self.store.lineage_path
+        )
+        return metric
+
+    # ----- finalize: collection stats + term stats -----
+
+    def finalize(self) -> dict:
+        docs = self.store.read_docs()
+        stats_row = docs.agg(
+            F.count("*").alias("num_docs"),
+            F.avg("doc_len").alias("avg_doc_len"),
+            F.avg("title_len").alias("avg_title_len"),
+            F.max("doc_len").alias("max_doc_len"),
+            F.max("title_len").alias("max_title_len"),
+        ).head()
+        postings = self.store.read_postings()
+        total_postings = postings.agg(F.sum("df")).head()[0] or 0
+        stats = {**stats_row.asDict(), "total_postings": int(total_postings)}
+        self.spark.createDataFrame([stats]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.store.stats_path)
+
+        term_stats = postings.groupBy("bucket", "term").agg(
+            F.sum("df").cast("long").alias("df"),
+            F.count("*").alias("n_chunks"),
+        )
+        (
+            term_stats.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .partitionBy("bucket")
+            .parquet(self.store.term_stats_path)
+        )
+        return stats
+
+    def build_all(self, corpus: DataFrame, resume: bool = True) -> dict:
+        self.build_docs(corpus)
+        self.build_postings(corpus, resume=resume)
+        return self.finalize()
+
+
+def _doclens_encode(pdf):
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.functions.codec import delta_encode_docs, vb_encode
+
+    pdf = pdf.sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    return pd.DataFrame(
+        [
+            {
+                "chunk_id": int(pdf["chunk_id"].iloc[0]),
+                "first_doc": int(ids[0]),
+                "n_docs": int(ids.size),
+                "doc_ids": delta_encode_docs(ids),
+                "doc_lens": vb_encode(pdf["doc_len"].to_numpy(np.uint64)),
+                "title_lens": vb_encode(pdf["title_len"].to_numpy(np.uint64)),
+            }
+        ]
+    )

@@ -1,0 +1,60 @@
+"""Corpus source + dense doc-id assignment.
+
+Input shape per BASELINE.json input_hint:
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+``path`` is the *title* field, ``content`` the *body* (reference:
+``ingestion.py:751-752``).
+
+Doc ids must be dense ints assigned in a stable global order (the
+reference assigns them by input-row ordinal, ``ingestion.py:732``; we pin
+the order to ``(repo, path, commit)``).  A global ``row_number()`` window
+would be a single-task total sort — instead we use the partition-offset
+scheme: ``repartitionByRange`` on the sort key (deterministic sampling
+seed), count rows per range partition (one cheap agg job), broadcast the
+cumulative offsets, then a per-partition ``row_number`` window.  This also
+yields the *disjoint contiguous doc-range per partition* property the
+build relies on (partial posting lists concatenate back in sorted order —
+the distributed mirror of the reference's disjoint block ranges,
+``ingestion.py:473-485``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SORT_KEYS = ["repo", "path", "commit"]
+
+
+def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def assign_doc_ids(
+    corpus: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """Adds dense ``doc_id`` (0..N-1 in (repo, path, commit) order) and
+    ``sha256`` (per-row invariant vs the source corpus)."""
+    spark = corpus.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    ranged = corpus.repartitionByRange(n_partitions, *SORT_KEYS).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r._pid):
+        offsets[row._pid] = acc
+        acc += row["count"]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*SORT_KEYS)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(offset_df), "_pid")
+        .withColumn("doc_id", F.col("_offset") + F.col("_rn"))
+        .withColumn("sha256", F.sha2(F.col("content"), 256))
+        .drop("_pid", "_rn", "_offset")
+    )

@@ -1,0 +1,175 @@
+"""Index table layout + lineage-gated readers.
+
+Layout under ``<index_dir>/``  (parquet everywhere; an Iceberg runtime is
+not available in this environment, so snapshot semantics are provided by
+the ``lineage`` table: a batch's data files are only visible once its
+lineage row is committed — readers resolve the committed batch list first
+and read only those paths, which is the same commit protocol an Iceberg
+manifest would give us):
+
+``docs/``        doc_id, repo, path, commit, lang, sha256, doc_len, title_len
+``doclens/batch=K/``  chunk_id, first_doc, n_docs, doc_lens(bin), title_lens(bin)
+``postings/batch=K/bucket=B/``  term, chunk_id, df, doc_ids(bin),
+    tfs_body(bin), tfs_title(bin), pos_body(bin), pos_title(bin),
+    blk_last_doc(bin), blk_max_tfb(bin), blk_max_tft(bin),
+    blk_min_dl(bin), blk_min_tl(bin)
+``term_stats/bucket=B/``  term, df, n_chunks   (finalize artifact)
+``stats/``       num_docs, avg_doc_len, avg_title_len, max_doc_len,
+                 max_title_len, total_postings
+``lineage/``     batch_id, first_chunk, last_chunk, n_docs, n_postings,
+                 n_rows_out, bytes_postings, wall_sec, input_fingerprint,
+                 engine_version
+
+All binary columns are delta+varbyte (``functions/codec.py``).  The
+reference keeps the same information in packed binary files + a marisa
+trie + pickles (``/root/reference/search_engine/ingestion.py:63-171``,
+``convert_index_to_marisa.py``); here the term dictionary is replaced by
+hash-bucket partition pruning + parquet min/max + bloom filters on
+``term``.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import EngineConfig
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("df", T.IntegerType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("tfs_body", T.BinaryType(), False),
+        T.StructField("tfs_title", T.BinaryType(), False),
+        T.StructField("pos_body", T.BinaryType(), False),
+        T.StructField("pos_title", T.BinaryType(), False),
+        T.StructField("blk_last_doc", T.BinaryType(), False),
+        T.StructField("blk_max_tfb", T.BinaryType(), False),
+        T.StructField("blk_max_tft", T.BinaryType(), False),
+        T.StructField("blk_min_dl", T.BinaryType(), False),
+        T.StructField("blk_min_tl", T.BinaryType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
+        T.StructField("tfs_body", T.ArrayType(T.IntegerType()), False),
+        T.StructField("tfs_title", T.ArrayType(T.IntegerType()), False),
+        T.StructField("pos_body", T.ArrayType(T.IntegerType()), False),
+        T.StructField("pos_title", T.ArrayType(T.IntegerType()), False),
+        T.StructField("doc_lens", T.ArrayType(T.IntegerType()), False),
+        T.StructField("title_lens", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+DOCLENS_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("doc_lens", T.BinaryType(), False),
+        T.StructField("title_lens", T.BinaryType(), False),
+    ]
+)
+
+
+class IndexStore:
+    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig):
+        self.spark = spark
+        self.dir = Path(index_dir)
+        self.config = config
+
+    # ----- paths -----
+    @property
+    def docs_path(self) -> str:
+        return str(self.dir / "docs")
+
+    @property
+    def stats_path(self) -> str:
+        return str(self.dir / "stats")
+
+    @property
+    def term_stats_path(self) -> str:
+        return str(self.dir / "term_stats")
+
+    @property
+    def lineage_path(self) -> str:
+        return str(self.dir / "lineage")
+
+    def postings_batch_path(self, batch_id: int) -> str:
+        return str(self.dir / "postings" / f"batch={batch_id}")
+
+    def doclens_batch_path(self, batch_id: int) -> str:
+        return str(self.dir / "doclens" / f"batch={batch_id}")
+
+    # ----- lineage-gated reads -----
+    def committed_batches(self) -> list[int]:
+        if not os.path.isdir(self.lineage_path):
+            return []
+        rows = self.spark.read.parquet(self.lineage_path).select("batch_id").collect()
+        return sorted(r.batch_id for r in rows)
+
+    def read_postings(self, batches: list[int] | None = None) -> DataFrame:
+        if batches is None:
+            batches = self.committed_batches()
+        paths = [self.postings_batch_path(b) for b in batches]
+        # basePath keeps the bucket partition column; batch dir itself is
+        # not a column (constant per path)
+        return self.spark.read.option("basePath", str(self.dir / "postings")).parquet(
+            *paths
+        ).drop("batch")
+
+    def read_doclens(self, batches: list[int] | None = None) -> DataFrame:
+        if batches is None:
+            batches = self.committed_batches()
+        paths = [self.doclens_batch_path(b) for b in batches]
+        return self.spark.read.option("basePath", str(self.dir / "doclens")).parquet(
+            *paths
+        ).drop("batch")
+
+    def read_docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_path)
+
+    def read_stats(self) -> dict:
+        row = self.spark.read.parquet(self.stats_path).head()
+        return row.asDict()
+
+    def read_term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.term_stats_path)
+
+    def term_stats_for(self, tokens: list[str]) -> dict[str, int]:
+        """df per token — partition-pruned lookup (bucket IN + term IN are
+        both pushed to the parquet scan)."""
+        if not tokens:
+            return {}
+        buckets = sorted({term_bucket(t, self.config.n_term_buckets) for t in tokens})
+        rows = (
+            self.read_term_stats()
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(set(tokens))))
+            .select("term", "df")
+            .collect()
+        )
+        return {r.term: r.df for r in rows}
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Deterministic, language-independent term shard (same value computable
+    in Spark SQL via ``crc32(encode(term,'utf-8')) % n``)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_col(col, n_buckets: int):
+    return (F.crc32(F.encode(col, "utf-8")) % n_buckets).cast("int")

@@ -1,0 +1,127 @@
+"""Index build: invariants vs the oracle's in-memory index.
+
+Invariants (SURVEY.md §5.3): dense doc ids in (repo,path,commit) order;
+per-row sha256 equality vs source; postings doc-sorted; sum(tf) == doc_len
+per doc; df == len(doc_ids); codec round-trips through the written index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.build.builder import IndexBuilder
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.codec import (
+    delta_decode_docs,
+    decode_positions,
+    vb_decode,
+)
+from search_engine_spark.oracle.refsem import RefSemIndex
+from search_engine_spark.testing.synth import corpus_to_tokens, synth_corpus
+
+CFG = EngineConfig(chunk_docs=64, chunks_per_batch=2, block_docs=8, n_term_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from search_engine_spark.testing.synth import synth_corpus
+
+    rows = synth_corpus(n_docs=150, seed=42)
+    corpus = spark.createDataFrame(rows)
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    builder = IndexBuilder(spark, index_dir, CFG)
+    stats = builder.build_all(corpus)
+    return rows, builder, stats
+
+
+def test_docs_table_invariants(built, spark):
+    rows, builder, stats = built
+    docs = builder.store.read_docs().orderBy("doc_id").collect()
+    assert len(docs) == len(rows)
+    # dense ids in (repo, path, commit) order
+    expected = sorted(rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    for i, (d, e) in enumerate(zip(docs, expected)):
+        assert d.doc_id == i
+        assert (d.repo, d.path, d.commit) == (e["repo"], e["path"], e["commit"])
+        assert d.sha256 == hashlib.sha256(e["content"].encode()).hexdigest()
+    assert stats["num_docs"] == len(rows)
+
+
+def test_postings_match_oracle_index(built):
+    rows, builder, stats = built
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    postings = builder.store.read_postings().collect()
+
+    by_term: dict[str, list] = {}
+    for r in postings:
+        by_term.setdefault(r.term, []).append(r)
+
+    assert set(by_term) == set(oracle.index)
+    for term, chunks in by_term.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        docs = np.concatenate([delta_decode_docs(bytes(r.doc_ids)) for r in chunks])
+        tfb = np.concatenate(
+            [vb_decode(bytes(r.tfs_body)).astype(np.int64) for r in chunks]
+        )
+        tft = np.concatenate(
+            [vb_decode(bytes(r.tfs_title)).astype(np.int64) for r in chunks]
+        )
+        p = oracle.index[term]
+        assert docs.tolist() == p.doc_ids, term
+        assert tfb.tolist() == p.tfs_body, term
+        assert tft.tolist() == p.tfs_title, term
+        assert sum(r.df for r in chunks) == len(p.doc_ids)
+        # positions round-trip
+        pos_b = np.concatenate(
+            [
+                decode_positions(bytes(r.pos_body), vb_decode(bytes(r.tfs_body)).astype(np.int64))
+                for r in chunks
+            ]
+        )
+        expected_pos = [x for sub in p.pos_body for x in sub]
+        assert pos_b.tolist() == expected_pos, term
+        # strictly ascending doc ids
+        assert np.all(np.diff(docs) > 0)
+
+
+def test_sum_tf_equals_doc_len(built):
+    rows, builder, _ = built
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    postings = builder.store.read_postings().collect()
+    body_sum = np.zeros(len(rows), dtype=np.int64)
+    for r in postings:
+        docs = delta_decode_docs(bytes(r.doc_ids))
+        body_sum[docs] += vb_decode(bytes(r.tfs_body)).astype(np.int64)
+    np.testing.assert_array_equal(body_sum, np.array(oracle.doc_lengths))
+
+
+def test_doclens_and_stats(built):
+    rows, builder, stats = built
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    assert stats["avg_doc_len"] == pytest.approx(oracle.avg_doc_length)
+    assert stats["avg_title_len"] == pytest.approx(oracle.avg_title_length)
+    doclens = builder.store.read_doclens().collect()
+    seen = {}
+    for r in doclens:
+        ids = delta_decode_docs(bytes(r.doc_ids))
+        dls = vb_decode(bytes(r.doc_lens)).astype(np.int64)
+        tls = vb_decode(bytes(r.title_lens)).astype(np.int64)
+        assert r.n_docs == ids.size
+        assert r.first_doc == ids[0]
+        for d, dl, tl in zip(ids.tolist(), dls.tolist(), tls.tolist()):
+            seen[d] = (dl, tl)
+    assert len(seen) == len(rows)
+    for d, (dl, tl) in seen.items():
+        assert dl == oracle.doc_lengths[d]
+        assert tl == oracle.title_lengths[d]
+
+
+def test_term_stats(built):
+    rows, builder, _ = built
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    ts = {r.term: r.df for r in builder.store.read_term_stats().collect()}
+    assert ts == {t: len(p.doc_ids) for t, p in oracle.index.items()}
