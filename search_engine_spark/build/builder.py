@@ -205,16 +205,28 @@ class IndexBuilder:
 
     def finalize(self) -> dict:
         docs = self.store.read_docs()
-        stats_row = docs.agg(
+        raw = docs.agg(
             F.count("*").alias("num_docs"),
-            F.avg("doc_len").alias("avg_doc_len"),
-            F.avg("title_len").alias("avg_title_len"),
+            F.sum("doc_len").alias("sum_doc_len"),
+            F.sum("title_len").alias("sum_title_len"),
             F.max("doc_len").alias("max_doc_len"),
             F.max("title_len").alias("max_title_len"),
         ).head()
+        # averages as exact-int-sum / count (one float division) — the
+        # reference computes cumulative int sums then divides
+        # (ingestion.py:899-910), and rank-identity requires bit-equal
+        # avg lengths in the BM25 denominator; Spark's float `avg` would
+        # differ in the last ulp depending on partition summation order.
+        stats_row = {
+            "num_docs": int(raw.num_docs),
+            "avg_doc_len": (raw.sum_doc_len or 0) / raw.num_docs if raw.num_docs else 0.0,
+            "avg_title_len": (raw.sum_title_len or 0) / raw.num_docs if raw.num_docs else 0.0,
+            "max_doc_len": int(raw.max_doc_len or 0),
+            "max_title_len": int(raw.max_title_len or 0),
+        }
         postings = self.store.read_postings()
         total_postings = postings.agg(F.sum("df")).head()[0] or 0
-        stats = {**stats_row.asDict(), "total_postings": int(total_postings)}
+        stats = {**stats_row, "total_postings": int(total_postings)}
         self.spark.createDataFrame([stats]).coalesce(1).write.mode(
             "overwrite"
         ).parquet(self.store.stats_path)

@@ -1,0 +1,202 @@
+"""Distributed query execution over a built index.
+
+``SearchEngine`` is the query-side public API (reference counterpart:
+``InvertedIndex.search``, ``/root/reference/search_engine/
+inverted_index.py:1845-1866``).  One query (or a batch of queries — they
+share the scan) executes as:
+
+``driver: tokenize → term-stats lookup (partition-pruned) → compile plan``
+``cluster: pruned postings scan  ⟂cogroup⟂  doclens scan``
+``        → applyInPandas(chunk kernel: decode + set algebra + BM25 +``
+``          block-max WAND + chunk top-k)``
+``        → global top-k (TakeOrderedAndProject / ranked window)``
+
+Scan properties (checked in tests via ``explain``): the postings read is
+pruned to the query terms' hash-bucket partitions, ``term IN (...)`` is
+pushed to parquet (bloom filters on ``term``), and only the columns the
+query needs are read — position columns only for phrase queries, block
+metadata only for WAND-eligible ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.tokenizer import get_tokenizer
+from search_engine_spark.plans.parser import SearchMode
+from search_engine_spark.query.kernels import RESULT_SCHEMA, make_query_kernel
+from search_engine_spark.query.plan import CompiledQuery, EMPTY, compile_query
+from search_engine_spark.sources.index_store import IndexStore, term_bucket
+
+_BASE_COLS = ["term", "chunk_id", "df", "doc_ids", "tfs_body", "tfs_title"]
+_POS_COLS = ["pos_body", "pos_title"]
+_BLK_COLS = [
+    "blk_last_doc", "blk_max_tfb", "blk_max_tft", "blk_min_dl", "blk_min_tl"
+]
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        config: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.store = IndexStore(spark, index_dir, self.config)
+        self.stats = self.store.read_stats()
+        self._tokenize = get_tokenizer(self.config.tokenizer)
+        # resolve committed batches once; re-open an engine to see new data
+        self._postings = self.store.read_postings().cache()
+        self._doclens = self.store.read_doclens()
+
+    # ----- planning -----
+
+    def compile(
+        self,
+        query: str,
+        mode: SearchMode = SearchMode.QUERY_EVALUATOR,
+        qid: int = 0,
+        num_candidates: int | None = None,
+        num_return: int | None = None,
+    ) -> CompiledQuery:
+        tokens = self._tokenize(query)
+        # candidate terms for the stats lookup: every non-operator token
+        # (operators that survive as terms just come back df=0, harmless)
+        dfs = self.store.term_stats_for(tokens)
+        return compile_query(
+            tokens,
+            mode,
+            dfs,
+            int(self.stats["num_docs"]),
+            self.config,
+            qid=qid,
+            num_candidates=num_candidates,
+            num_return=num_return,
+        )
+
+    # ----- execution -----
+
+    def execute(
+        self, plans: list[CompiledQuery], use_wand: bool = True
+    ) -> DataFrame:
+        """Run compiled plans in one job -> (qid, doc_id, score, rank),
+        rank 1..num_return per qid ordered by (-score, doc_id)."""
+        live = [p for p in plans if p.tree[0] != EMPTY]
+        if not live:
+            return self._empty_ranked()
+
+        fetch_terms = sorted({t for p in live for t in p.fetch_terms})
+        need_pos = any(p.needs_positions for p in live)
+        need_blk = use_wand and any(p.wand_eligible for p in live)
+        scan_all = any(p.scan_all_chunks for p in live)
+        if not fetch_terms and not scan_all:
+            return self._empty_ranked()
+
+        cols = list(_BASE_COLS)
+        if need_pos:
+            cols += _POS_COLS
+        if need_blk:
+            cols += _BLK_COLS
+        buckets = sorted(
+            {term_bucket(t, self.config.n_term_buckets) for t in fetch_terms}
+        )
+        postings = self._postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(fetch_terms)
+        ).select(*cols)
+
+        kernel = make_query_kernel(
+            live,
+            {
+                "num_docs": int(self.stats["num_docs"]),
+                "avg_doc_len": float(self.stats["avg_doc_len"]),
+                "avg_title_len": float(self.stats["avg_title_len"]),
+            },
+            self.config.k1,
+            self.config.b,
+            self.config.title_weight,
+            use_wand=use_wand,
+        )
+        per_chunk = (
+            postings.groupby("chunk_id")
+            .cogroup(self._doclens.groupby("chunk_id"))
+            .applyInPandas(kernel, RESULT_SCHEMA)
+        )
+        n_return = {p.qid: p.num_return for p in live}
+        if len(live) == 1:
+            p = live[0]
+            return (
+                per_chunk.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(p.num_return)
+                .withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+                    ),
+                )
+            )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = per_chunk.withColumn("rank", F.row_number().over(w))
+        max_n = max(n_return.values())
+        return ranked.where(F.col("rank") <= F.lit(max_n))
+
+    def search(
+        self,
+        query: str,
+        mode: SearchMode = SearchMode.QUERY_EVALUATOR,
+        num_return: int | None = None,
+        use_wand: bool = True,
+    ) -> DataFrame:
+        """Top-k for one query -> DataFrame(qid, doc_id, score, rank)."""
+        plan = self.compile(query, mode, num_return=num_return)
+        return self.execute([plan], use_wand=use_wand)
+
+    def search_batch(
+        self,
+        queries: list[tuple[str, SearchMode]],
+        num_return: int | None = None,
+        use_wand: bool = True,
+    ) -> DataFrame:
+        """Many queries in one scan+job; qid = position in ``queries``."""
+        plans = []
+        # one stats lookup for all queries' tokens
+        all_tokens: list[str] = []
+        tokenized = []
+        for q, _m in queries:
+            toks = self._tokenize(q)
+            tokenized.append(toks)
+            all_tokens.extend(toks)
+        dfs = self.store.term_stats_for(all_tokens)
+        for qid, ((_q, mode), toks) in enumerate(zip(queries, tokenized)):
+            plans.append(
+                compile_query(
+                    toks, mode, dfs, int(self.stats["num_docs"]),
+                    self.config, qid=qid, num_return=num_return,
+                )
+            )
+        return self.execute(plans, use_wand=use_wand)
+
+    def with_doc_info(
+        self, ranked: DataFrame, corpus: DataFrame | None = None
+    ) -> DataFrame:
+        """Join doc metadata (and snippets when the corpus is supplied) —
+        reference ``get_doc_info`` (inverted_index.py:1186-1219)."""
+        docs = self.store.read_docs().select(
+            "doc_id", "repo", "path", "commit", "lang"
+        )
+        out = ranked.join(F.broadcast(docs), "doc_id", "left")
+        if corpus is not None:
+            snip = corpus.select(
+                "repo", "path", "commit",
+                F.substring("content", 1, self.config.snippet_length).alias(
+                    "snippet"
+                ),
+            )
+            out = out.join(snip, ["repo", "path", "commit"], "left")
+        return out.orderBy("qid", "rank")
+
+    def _empty_ranked(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA + ", rank int")

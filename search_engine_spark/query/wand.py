@@ -1,0 +1,147 @@
+"""Block-max WAND top-k for ranked OR / free-text queries.
+
+The reference scores *every* matched doc then bounded-heaps the top-k
+(``/root/reference/search_engine/inverted_index.py:1730-1773``); block-max
+pruning is a north-star addition and must stay rank-identical to
+exhaustive scoring (verified by property tests).
+
+Vectorized block-max design (segment-at-a-time rather than doc-at-a-time,
+so the hot path stays in numpy — no per-row Python):
+
+1. Each posting row carries per-block (``block_docs`` postings) metadata:
+   max tf_body/tf_title and min doc_len/title_len
+   (``build/kernels.py:encode_posting_group``).  From these and the
+   per-column IDF an upper bound on the column's score contribution for
+   any doc inside the block is computed — BM25's term weight is monotone
+   increasing in tf and decreasing in doc length, so
+   ``ub = idf * f(max_tf / (1 - b + b * min_len / avg))`` dominates.
+   Columns with non-positive IDF get ub 0 (their contribution is never
+   positive).
+2. The doc-id axis is cut at every block boundary of every query term
+   (``np.unique`` of the block-last-doc arrays) — within a segment no
+   term changes block, so the segment's upper bound is a plain column sum.
+3. Segments are processed in upper-bound-descending order, maintaining a
+   bounded pool of the best ``num_candidates`` (score, doc_id) pairs seen
+   (the "bounded min-heap": an array pool compacted by lexsort).  Once the
+   pool is full and the next segment's upper bound is strictly below the
+   k-th best score θ, every remaining segment is provably unable to place
+   a doc (score <= ub < θ), so the sweep stops.  Segments with ub == θ are
+   still processed, which preserves exact (-score, doc_id) tie-breaking.
+
+This is the block-max pruning of Ding & Suel's Block-Max WAND (SIGIR'11)
+re-shaped for vectorized batch execution inside ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from search_engine_spark.functions.bm25 import fielded_bm25
+from search_engine_spark.query.kernels import ChunkDocs, TermChunk, tf_matrices
+from search_engine_spark.query.plan import OR, TERM, CompiledQuery
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+def _tree_terms(plan: CompiledQuery) -> list[str]:
+    if plan.tree[0] == TERM:
+        return [plan.tree[1]]
+    assert plan.tree[0] == OR
+    return [c[1] for c in plan.tree[1]]
+
+
+def _block_ubs(
+    tc: TermChunk,
+    idf: float,
+    avg_dl: float,
+    avg_tl: float,
+    k1: float,
+    b: float,
+    title_weight: float,
+) -> np.ndarray:
+    """Per-block score-contribution upper bound for one column."""
+    if idf <= 0.0:
+        return np.zeros(tc.blk_last.size, dtype=np.float64)
+    wb = tc.blk_max_tfb / (1.0 - b + b * (tc.blk_min_dl / avg_dl))
+    wt = tc.blk_max_tft / (1.0 - b + b * (tc.blk_min_tl / avg_tl))
+    w = wb + title_weight * wt
+    return idf * (w * (k1 + 1.0)) / (w + k1)
+
+
+def wand_topk(
+    plan: CompiledQuery,
+    terms: dict[str, TermChunk],
+    chunk: ChunkDocs,
+    stats: dict,
+    k1: float,
+    b: float,
+    title_weight: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    tree_terms = [t for t in _tree_terms(plan) if t in terms]
+    if not tree_terms:
+        return _EMPTY_I64, _EMPTY_F64
+    ncols = min(len(plan.columns), len(plan.idfs))
+    cols = plan.columns[:ncols]
+    idfs = np.asarray(plan.idfs[:ncols], dtype=np.float64)
+    avg_dl = stats["avg_doc_len"]
+    avg_tl = stats["avg_title_len"]
+
+    # ---- segment grid: union of all block boundaries
+    uniq_terms = sorted(set(tree_terms))
+    bounds = np.unique(
+        np.concatenate([terms[t].blk_last for t in uniq_terms])
+    )
+    n_seg = bounds.size
+    seg_lo = np.concatenate(([np.int64(-1)], bounds[:-1]))  # (lo, hi] spans
+
+    # ---- per-segment upper bound: sum over scored columns of the ub of
+    # the block the segment falls in
+    seg_ub = np.zeros(n_seg, dtype=np.float64)
+    for j, col in enumerate(cols):
+        if col[0] != "term" or col[1] not in terms:
+            continue
+        tc = terms[col[1]]
+        ub = _block_ubs(tc, float(idfs[j]), avg_dl, avg_tl, k1, b, title_weight)
+        blk_idx = np.searchsorted(tc.blk_last, bounds, side="left")
+        valid = blk_idx < tc.blk_last.size
+        seg_ub[valid] += ub[np.minimum(blk_idx, tc.blk_last.size - 1)][valid]
+
+    order = np.argsort(-seg_ub, kind="stable")
+    K = plan.num_candidates
+
+    pool_docs = _EMPTY_I64
+    pool_scores = _EMPTY_F64
+    theta = -np.inf
+    for si in order.tolist():
+        if pool_docs.size >= K and seg_ub[si] < theta:
+            break  # ub-descending order: nothing later can place either
+        lo, hi = seg_lo[si], bounds[si]
+        parts = []
+        for t in uniq_terms:
+            d = terms[t].docs
+            a = np.searchsorted(d, lo, side="right")
+            z = np.searchsorted(d, hi, side="right")
+            if z > a:
+                parts.append(d[a:z])
+        if not parts:
+            continue
+        matched = np.unique(np.concatenate(parts))
+        tfb, tft = tf_matrices(cols, matched, terms)
+        pos = np.searchsorted(chunk.doc_ids, matched)
+        dl = chunk.doc_lens[pos].astype(np.float64)
+        tl = chunk.title_lens[pos].astype(np.float64)
+        score, _, _ = fielded_bm25(
+            idfs, tfb, tft, dl, tl, avg_dl, avg_tl,
+            k1=k1, b=b, title_weight=title_weight,
+        )
+        pool_docs = np.concatenate([pool_docs, matched])
+        pool_scores = np.concatenate([pool_scores, score])
+        if pool_docs.size > K:
+            keep = np.lexsort((pool_docs, -pool_scores))[:K]
+            pool_docs, pool_scores = pool_docs[keep], pool_scores[keep]
+        if pool_docs.size >= K:
+            theta = float(np.min(pool_scores))
+
+    final = np.lexsort((pool_docs, -pool_scores))[:K]
+    return pool_docs[final], pool_scores[final]

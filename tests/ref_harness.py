@@ -22,7 +22,14 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def _stub_module(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real-looking spec so later ``import x.y`` probes of an already-
+    # stubbed parent don't fail with "x.__spec__ is None" (e.g. pyspark's
+    # sklearn feature detection in the same pytest process)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    mod.__path__ = []  # mark as package so submodule imports are attempted
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules.setdefault(name, mod)

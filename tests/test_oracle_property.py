@@ -71,7 +71,11 @@ def test_random_parity(corpus, q):
             snippet_length=10,
         )
         ref_top = [(s, int(i.original_docid)) for s, i in ref_top]
-    except (IndexError, TypeError):
+    except (IndexError, TypeError, ZeroDivisionError):
+        # degenerate reference paths we pin differently: the all-pruned
+        # sentinel doc -1 reaches scoring (inverted_index.py:1732-1746)
+        # and either indexes out of bounds or divides by zero when
+        # tf' == -k1; the oracle returns empty instead (pinned deviation 3)
         assert my_top == [] or all(s == 0.0 for s, _ in my_top)
         return
     if any(d == -1 for _, d in ref_top):

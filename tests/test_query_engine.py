@@ -1,0 +1,137 @@
+"""Distributed engine vs pure-Python oracle: rank-identical top-k.
+
+The gate BASELINE.json mandates: top-k docIDs identical, per-document BM25
+score deltas < 1e-9 rel, across AND/OR/NOT/PHRASE/QUERY_EVALUATOR including
+the reference's IDF-pruning sentinel and shape quirks.  The index spans
+multiple doc-range chunks (chunk_docs=64 over 150 docs) so intersection /
+union / NOT / phrase / top-k all cross the distribution boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_engine_spark.build.builder import IndexBuilder
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.oracle.refsem import RefSemIndex
+from search_engine_spark.plans.parser import SearchMode
+from search_engine_spark.query.engine import SearchEngine
+from search_engine_spark.testing.synth import corpus_to_tokens, synth_corpus
+
+CFG = EngineConfig(chunk_docs=64, chunks_per_batch=2, block_docs=8, n_term_buckets=8)
+
+QUERIES = [
+    ("zqmerge", SearchMode.AND),
+    ("zqmerge zqshard", SearchMode.AND),
+    ("zqmerge zqshard query", SearchMode.AND),
+    ("parse_1 OR codec_2", SearchMode.OR),
+    ("zqmerge zqshard", SearchMode.OR),
+    ("parse_1 codec_2 merge_3", SearchMode.OR),
+    ('"zqmerge zqshard"', SearchMode.PHRASE),
+    ("zqmerge zqshard", SearchMode.PHRASE),
+    ("unknown_term_xyz", SearchMode.AND),
+    ("unknown_term_xyz zqmerge", SearchMode.AND),
+    ("unknown_term_xyz zqmerge", SearchMode.OR),
+    ("def", SearchMode.AND),  # pruned (idf < 1.5)
+    ("def data", SearchMode.AND),  # all pruned -> empty
+    ("def zqmerge", SearchMode.AND),  # pruned + kept (zip truncation quirk)
+    ("def zqmerge zqshard", SearchMode.OR),
+    ("zqmerge zqshard", SearchMode.NOT),
+    ("zqmerge AND ( zqshard OR codec_2 )", SearchMode.QUERY_EVALUATOR),
+    ("zqmerge AND NOT zqshard", SearchMode.QUERY_EVALUATOR),
+    ('"zqmerge zqshard" OR codec_2', SearchMode.QUERY_EVALUATOR),
+    ("zqmerge zqshard OR parse_1", SearchMode.QUERY_EVALUATOR),
+    ("NOT zqmerge", SearchMode.QUERY_EVALUATOR),
+    ("zqmerge AND ( parse_1 OR NOT codec_2 )", SearchMode.QUERY_EVALUATOR),
+    ("tiny", SearchMode.AND),
+    ("tiny OR zqmerge AND zqshard", SearchMode.QUERY_EVALUATOR),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    rows = synth_corpus(n_docs=150, seed=7)
+    corpus = spark.createDataFrame(rows)
+    index_dir = str(tmp_path_factory.mktemp("qindex"))
+    IndexBuilder(spark, index_dir, CFG).build_all(corpus)
+    engine = SearchEngine(spark, index_dir, CFG)
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    return engine, oracle
+
+
+def _assert_rank_identical(got_rows, ref_top, label):
+    got = sorted(got_rows, key=lambda r: r.rank)
+    assert [r.doc_id for r in got] == [d for _s, d in ref_top], label
+    for r, (s, _d) in zip(got, ref_top):
+        assert r.score == pytest.approx(s, rel=1e-9, abs=1e-12), label
+
+
+@pytest.mark.parametrize("use_wand", [False, True], ids=["exhaustive", "wand"])
+def test_rank_identity_batch(setup, use_wand):
+    engine, oracle = setup
+    ranked = engine.search_batch(QUERIES, use_wand=use_wand).collect()
+    by_qid: dict[int, list] = {}
+    for r in ranked:
+        by_qid.setdefault(r.qid, []).append(r)
+    for qid, (query, mode) in enumerate(QUERIES):
+        _n, ref_top = oracle.search_text(query, mode)
+        _assert_rank_identical(by_qid.get(qid, []), ref_top, (query, mode))
+
+
+def test_single_query_path(setup):
+    engine, oracle = setup
+    _n, ref_top = oracle.search_text("zqmerge zqshard", SearchMode.AND)
+    got = engine.search("zqmerge zqshard", SearchMode.AND).collect()
+    _assert_rank_identical(got, ref_top, "single AND")
+
+
+def test_wand_equals_exhaustive_random_or(setup):
+    """Property: block-max WAND == exhaustive on randomized OR queries."""
+    engine, oracle = setup
+    rng = np.random.default_rng(123)
+    vocab = sorted(oracle.index.keys())
+    queries = []
+    for _ in range(15):
+        k = int(rng.integers(1, 5))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), size=k)]
+        queries.append((" ".join(toks), SearchMode.OR))
+    a = engine.search_batch(queries, use_wand=True).collect()
+    b = engine.search_batch(queries, use_wand=False).collect()
+    key = lambda r: (r.qid, r.rank)
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert [(r.qid, r.rank, r.doc_id) for r in a] == [
+        (r.qid, r.rank, r.doc_id) for r in b
+    ]
+    for x, y in zip(a, b):
+        assert x.score == pytest.approx(y.score, rel=1e-12)
+    # and both equal the oracle
+    by_qid: dict[int, list] = {}
+    for r in a:
+        by_qid.setdefault(r.qid, []).append(r)
+    for qid, (query, mode) in enumerate(queries):
+        _n, ref_top = oracle.search_text(query, mode)
+        _assert_rank_identical(by_qid.get(qid, []), ref_top, (query, mode))
+
+
+def test_doc_info_join(setup):
+    engine, _oracle = setup
+    ranked = engine.search("zqmerge", SearchMode.AND)
+    info = engine.with_doc_info(ranked).collect()
+    assert len(info) > 0
+    assert all(r.path is not None for r in info)
+
+
+def test_postings_scan_is_pruned(setup):
+    """The postings scan must push bucket-partition + term filters down."""
+    engine, _ = setup
+    plan = engine.compile("zqmerge", SearchMode.AND)
+    from search_engine_spark.sources.index_store import term_bucket
+    from pyspark.sql import functions as F
+
+    buckets = [term_bucket("zqmerge", CFG.n_term_buckets)]
+    scan = engine._postings.where(
+        F.col("bucket").isin(buckets) & F.col("term").isin(["zqmerge"])
+    )
+    explained = scan._jdf.queryExecution().executedPlan().toString()
+    assert "zqmerge" in explained
