@@ -88,6 +88,10 @@ def _idf(num_docs: int, df: int) -> float:
 
 def _combine(op: str, children: list[_Sub]) -> tuple:
     """AND/OR set-algebra over child trees with reference sentinel rules."""
+    if not children:
+        # zero-token query: the reference's k-way merge over zero lists
+        # emits nothing (inverted_index.py:227-344 with an empty heap)
+        return (EMPTY,)
     trees = [c.tree for c in children]
     kept = [t for t in trees if t[0] != _SENT]
     n_dropped = len(trees) - len(kept)

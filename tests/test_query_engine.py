@@ -135,3 +135,17 @@ def test_postings_scan_is_pruned(setup):
     )
     explained = scan._jdf.queryExecution().executedPlan().toString()
     assert "zqmerge" in explained
+
+
+def test_empty_query_is_empty(setup):
+    """Zero-token AND/OR queries return nothing (reference: empty k-way
+    merge).  Zero-token NOT is a crash path in the reference (flat shape
+    leaks into flatten); pinned here as all-docs with score 0, first
+    ``num_return`` ascending doc ids."""
+    engine, _oracle = setup
+    assert engine.search("", SearchMode.AND).collect() == []
+    assert engine.search("", SearchMode.OR).collect() == []
+    got = engine.search("", SearchMode.NOT).collect()
+    assert [(r.doc_id, r.score) for r in sorted(got, key=lambda r: r.rank)] == [
+        (i, 0.0) for i in range(10)
+    ]
