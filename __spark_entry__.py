@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship ranked retrieval on sf0.001 — builds the contract
+index (cached per sf dir) and runs a batched set of search queries through
+the distributed engine (block-max WAND path included).
+
+``queries`` / ``oracle_sql``: paired Spark-vs-DuckDB contracts — see
+``search_engine_spark/contracts.py`` (core index/search family) and
+``search_engine_spark/pipeline/contracts_pipeline.py`` (training-data
+pipeline operators: dedup, similarity, text analysis).
 """
 
 from __future__ import annotations
@@ -16,23 +19,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from search_engine_spark.contracts import get_engine
+    from search_engine_spark.plans.parser import SearchMode
+
+    engine = get_engine(spark, "/root/testdata/sf0.001")
+    ranked = engine.search_batch(
+        [
+            ("dup small", SearchMode.OR),
+            ("dup small", SearchMode.AND),
+            ("batch batch", SearchMode.PHRASE),
+            ("dup AND line OR group", SearchMode.QUERY_EVALUATOR),
+        ]
+    )
+    return engine.with_doc_info(ranked).select(
+        "qid", "rank", "doc_id", "score", "path"
+    )
+
+
+def _registry() -> dict[str, tuple]:
+    from search_engine_spark.contracts import CORE_QUERIES
+
+    reg = dict(CORE_QUERIES)
+    try:
+        from search_engine_spark.pipeline.contracts_pipeline import (
+            PIPELINE_QUERIES,
+        )
+
+        reg.update(PIPELINE_QUERIES)
+    except ImportError:  # pipeline extras not present yet
+        pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql
+        for name, (_fn, sql) in _registry().items()
+        if sql is not None
+    }

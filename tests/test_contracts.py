@@ -1,0 +1,90 @@
+"""Driver-contract parity: every queries() entry vs its oracle_sql() in
+DuckDB, replicating the driver's compare (row count + schema-insensitive
+sorted value comparison) at sf0.001."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    try:  # Decimal -> float
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def _pairs():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    return [(name, q[name], o.get(name)) for name in sorted(q)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_contract_matches_oracle(spark, name, fn, sql):
+    df = fn(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    if sql is None:
+        assert len(spark_rows) >= 0  # rows-only check (driver's weak mode)
+        return
+    duck_cols, duck_rows = _duck(sql)
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    s_cols, s_rows = _normalize(spark_cols, spark_rows)
+    d_cols, d_rows = _normalize(duck_cols, duck_rows)
+    assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
+    assert s_rows == d_rows, (name, s_rows[:3], d_rows[:3])
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"qid", "rank", "doc_id", "score", "path"} <= set(df.columns)
