@@ -102,19 +102,34 @@ class IndexBuilder:
     def build_postings(
         self, corpus: DataFrame, resume: bool = True, max_batches: int | None = None
     ) -> list[dict]:
-        """Runs all (remaining) batches; returns per-batch metric dicts."""
+        """Runs all (remaining) batches; returns per-batch metric dicts.
+
+        Per-batch input slicing is by *sort-key range*, not a full-corpus
+        join: the docs table provides each batch's (repo, path, commit)
+        bounds (one tiny driver-side agg), the corpus scan is filtered to
+        that range (the ``repo`` bounds push down to parquet/Iceberg
+        min-max file pruning on a sorted layout), and only the batch slice
+        joins against the docs slice to pick up doc ids.  Cost per batch is
+        O(batch), not O(corpus) — at 10^12 files the difference is the
+        build being feasible at all.
+        """
         cfg = self.config
         docs = self.store.read_docs().select("doc_id", "repo", "path", "commit")
-        num_docs = docs.count()
+        docs_per_batch = cfg.chunk_docs * cfg.chunks_per_batch
+        bounds = {
+            int(r.b): (r.lo, r.hi, int(r.n))
+            for r in docs.groupBy(
+                (F.col("doc_id") / docs_per_batch).cast("long").alias("b")
+            )
+            .agg(
+                F.min(F.struct("repo", "path", "commit")).alias("lo"),
+                F.max(F.struct("repo", "path", "commit")).alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+        num_docs = sum(n for _, _, n in bounds.values())
         done = set(self.store.committed_batches()) if resume else set()
-        # key the corpus by the already-committed doc ids (docs table is the
-        # single source of truth; keeps resume immune to any input
-        # repartitioning between runs)
-        corpus_keyed = corpus.join(docs, ["repo", "path", "commit"]).select(
-            "doc_id",
-            F.col(self.title_col).alias("title"),
-            F.col(self.body_col).alias("body"),
-        )
         metrics = []
         ran = 0
         for batch_id, first_chunk, last_chunk in self._batch_ranges(num_docs):
@@ -122,20 +137,41 @@ class IndexBuilder:
                 continue
             if max_batches is not None and ran >= max_batches:
                 break
-            m = self._run_batch(corpus_keyed, batch_id, first_chunk, last_chunk)
+            m = self._run_batch(
+                corpus, docs, bounds[batch_id], batch_id, first_chunk, last_chunk
+            )
             metrics.append(m)
             ran += 1
         return metrics
 
     def _run_batch(
-        self, corpus_keyed: DataFrame, batch_id: int, first_chunk: int, last_chunk: int
+        self,
+        corpus: DataFrame,
+        docs: DataFrame,
+        key_bounds: tuple,
+        batch_id: int,
+        first_chunk: int,
+        last_chunk: int,
     ) -> dict:
         cfg = self.config
         t0 = time.time()
         lo = first_chunk * cfg.chunk_docs
         hi = last_chunk * cfg.chunk_docs
-        batch_docs = corpus_keyed.where(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        klo, khi, _n = key_bounds
+        # pushable prefix bound on repo, then the exact struct-tuple bound
+        corpus_slice = corpus.where(
+            (F.col("repo") >= klo.repo) & (F.col("repo") <= khi.repo)
+        ).where(
+            (F.struct("repo", "path", "commit") >= F.struct(F.lit(klo.repo), F.lit(klo.path), F.lit(klo.commit)))
+            & (F.struct("repo", "path", "commit") <= F.struct(F.lit(khi.repo), F.lit(khi.path), F.lit(khi.commit)))
+        )
+        docs_slice = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        batch_docs = corpus_slice.join(
+            docs_slice, ["repo", "path", "commit"]
+        ).select(
+            "doc_id",
+            F.col(self.title_col).alias("title"),
+            F.col(self.body_col).alias("body"),
         )
 
         partials = batch_docs.mapInPandas(

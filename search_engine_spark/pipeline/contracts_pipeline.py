@@ -1,0 +1,381 @@
+"""Driver contracts for the training-data pipeline operators
+(Spark engine vs DuckDB oracle over the ``documents`` / ``embeddings``
+views).  See ``search_engine_spark/contracts.py`` for the float-parity
+rules; hash functions are md5-prefix based so both engines compute
+identical values."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.pipeline import dedup, similarity, textstats
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+_H = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+_P = dedup.MINHASH_P
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# 3-gram shingle list (distinct, first-seen order) — twin of
+# dedup.shingles_col(text, 3)
+_SHINGLES = f"""
+list_distinct(list_transform(
+  range(greatest(len({_TOK}) - 3, 0) + 1),
+  i -> array_to_string(({_TOK})[i + 1 : i + 3], ' ')
+))"""
+
+
+def _shingles_of(alias: str) -> str:
+    return _SHINGLES.replace("text", f"{alias}.text")
+
+
+# ------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups over a corpus with planted duplicates (documents
+    unioned with a deterministic copy of doc_id % 10 == 0 rows)."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return dedup.exact_dup_groups(
+        docs.unionByName(planted), "doc_id", "text"
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_md5,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_id
+FROM u GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature summary per doc (first/min/sum of the 16-hash
+    signature) — validates the vectorized signature computation."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return sigs.select(
+        "id",
+        F.col("sig")[0].alias("sig0"),
+        F.array_min("sig").alias("sig_min"),
+        F.aggregate(
+            "sig", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sig_sum"),
+    )
+
+
+def _sql_minhash_sig() -> str:
+    params = dedup.minhash_params(16, seed=7)
+    hashes = ", ".join(
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {_P}))"
+        for a, b in params
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_transform({_SHINGLES}, s -> {_H.format(s='s')}) AS xs
+  FROM documents
+),
+sig AS (SELECT id, [{hashes}] AS sig FROM sh)
+SELECT id, sig[1] AS sig0, list_min(sig) AS sig_min,
+       list_reduce(sig, (a, x) -> a + x) AS sig_sum
+FROM sig
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: band candidates -> exact
+    Jaccard >= 0.5 -> verified pairs."""
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _sql_minhash_neardup() -> str:
+    params = dedup.minhash_params(16, seed=7)
+    band_keys = []
+    for b in range(4):
+        cols = [
+            f"list_min(list_transform(xs, x -> ({a} * x + {bb}) % {_P}))::VARCHAR"
+            for a, bb in params[b * 4 : (b + 1) * 4]
+        ]
+        band_keys.append(" || '_' || ".join(cols))
+    bands_sql = ", ".join(f"({k}) AS band{b}" for b, k in enumerate(band_keys))
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS shingles,
+         list_transform({_SHINGLES}, s -> {_H.format(s='s')}) AS xs
+  FROM documents
+),
+banded0 AS (SELECT id, shingles, {bands_sql} FROM sh),
+banded AS (
+  SELECT id, shingles, unnest(['b0_' || band0, 'b1_' || band1,
+                               'b2_' || band2, 'b3_' || band3]) AS bk
+  FROM banded0
+),
+cand AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2, l.shingles AS s1, r.shingles AS s2
+  FROM banded l JOIN banded r ON l.bk = r.bk AND l.id < r.id
+),
+scored AS (
+  SELECT id1, id2,
+         len(list_intersect(s1, s2))::DOUBLE
+           / len(list_distinct(list_concat(s1, s2))) AS j
+  FROM cand
+)
+SELECT id1, id2, round(j, 6)::DOUBLE AS jaccard FROM scored WHERE j >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_simhash() -> str:
+    # per distinct token: h = 32-bit md5 prefix, tf = occurrences; bit i of
+    # the fingerprint set iff sum(+-tf by bit i of h) > 0
+    bit_terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(th,
+              s -> CASE WHEN (s.h >> {i}) & 1 = 1 THEN s.tf ELSE -s.tf END)) > 0
+            THEN {1 << i}::BIGINT ELSE 0 END)"""
+        for i in range(32)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {_TOK} AS l FROM documents),
+th AS (
+  SELECT id,
+         list_transform(
+           list_distinct(l),
+           t -> struct_pack(
+             h := {_H.format(s='t')},
+             tf := len(list_filter(l, x -> x = t))
+           )
+         ) AS th
+  FROM toks
+)
+SELECT id, ({bit_terms}) AS simhash FROM th
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for consecutive doc-id pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1).alias("id2")
+    ).join(
+        docs.select(F.col("doc_id").alias("id2")), "id2", "semi"
+    )
+    return dedup.jaccard_pairs(docs, pairs, "doc_id", "text").select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(
+         len(list_intersect({_shingles_of('a')}, {_shingles_of('b')}))::DOUBLE
+           / len(list_distinct(list_concat({_shingles_of('a')}, {_shingles_of('b')}))),
+         6)::DOUBLE AS jaccard
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ------------------------------------------------------------ similarity
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    top = similarity.cosine_topk(emb, qvec, k=10)
+    return top.select("id", F.round("cos", 6).alias("cos"))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id AS id,
+         list_reduce(
+           list_transform(range(len(e.embedding)),
+             i -> e.embedding[i + 1]::DOUBLE * q.qv[i + 1]),
+           (a, x) -> a + x)
+         / (sqrt(list_reduce(
+              list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE),
+              (a, x) -> a + x))
+            * sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                               (a, x) -> a + x))) AS cos
+  FROM embeddings e, q
+)
+SELECT id, round(cos, 6)::DOUBLE AS cos
+FROM scored ORDER BY cos DESC, id LIMIT 10
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only contract; recall is property-tested in
+    tests/test_pipeline.py against the exact baseline)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    top = similarity.lsh_topk(emb, qvec, k=10)
+    return top.select("id", F.round("cos", 6).alias("cos"))
+
+
+# ------------------------------------------------------------ text stats
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id AS id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT
+         AS bpe_tokens,
+       len(list_distinct({_TOK}))::BIGINT AS distinct_words
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_STOP_IN = ", ".join(repr(s) for s in textstats.STOPWORDS)
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id AS id, text, {_TOK} AS l,
+         length(text)::BIGINT AS n_chars,
+         len({_TOK})::BIGINT AS n_tokens,
+         len(list_filter({_TOK}, x -> x IN ({_STOP_IN}))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS n_punct
+  FROM documents
+),
+r AS (
+  SELECT id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END
+           AS mean_word_len,
+         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END
+           AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END
+           AS punct_ratio
+  FROM t
+)
+SELECT id, n_chars, n_tokens,
+       round(mean_word_len, 6)::DOUBLE AS mean_word_len,
+       round(stop_ratio, 6)::DOUBLE AS stop_ratio,
+       round(punct_ratio, 6)::DOUBLE AS punct_ratio,
+       round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+             + (1.0 - punct_ratio) * 0.3
+             + least(stop_ratio * 5.0, 1.0) * 0.3, 6)::DOUBLE AS quality
+FROM r
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_lang_id() -> str:
+    hits = {
+        lang: f"len(list_filter(l, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in textstats.LANG_MARKERS.items()
+    }
+    langs = list(hits)
+    greatest = f"greatest({', '.join(hits[l] for l in langs)})"
+    case = "CASE WHEN {g} = 0 THEN 'und' ".format(g=greatest)
+    for l in langs:
+        case += f"WHEN {hits[l]} = {greatest} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_TOK} AS l FROM documents)
+SELECT id, {case} AS lang_pred, {greatest}::BIGINT AS lang_hits FROM t
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# raw (non-distinct) k-gram sequence in document order — winnowing windows
+# are positional, so no list_distinct here (DuckDB's doesn't keep order)
+_RAW_SHINGLES = f"""
+list_transform(
+  range(greatest(len({_TOK}) - 3, 0) + 1),
+  i -> array_to_string(({_TOK})[i + 1 : i + 3], ' ')
+)"""
+
+SQL_FINGERPRINTS = f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         list_transform({_RAW_SHINGLES}, s -> {_H.format(s='s')}) AS hashes
+  FROM documents
+),
+w AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(greatest(len(hashes) - 4, 0) + 1),
+           i -> list_min(hashes[i + 1 : i + 4])
+         )) AS fps
+  FROM g
+)
+SELECT id, len(fps)::BIGINT AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM w
+"""
+
+
+# ------------------------------------------------------------ multimodal
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.pipeline import multimodal
+
+    binary = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.decode_features(binary).select(
+        "id", "n_bytes", "width", "height"
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS id,
+       strlen(text)::BIGINT AS n_bytes,
+       (strlen(text) % 256)::BIGINT AS width,
+       ((strlen(text) // 256) % 256)::BIGINT AS height
+FROM documents
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_sigs": (q_minhash_sigs, _sql_minhash_sig()),
+    "dedup_minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup()),
+    "dedup_simhash": (q_simhash, _sql_simhash()),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_lsh_topk, None),  # rows-only; recall pytest'd
+    "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "text_quality": (q_quality, SQL_QUALITY),
+    "text_lang_id": (q_lang_id, _sql_lang_id()),
+    "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+}

@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hash functions are built from ``md5`` prefixes so the DuckDB oracle can
+replicate them bit-for-bit (both engines produce identical lowercase-hex
+md5).  Shingle hash x = first 8 hex chars of md5 as int (< 2^32); MinHash
+permutations are ``(a_i * x + b_i) mod p`` with p prime > 2^32 and (a_i,
+b_i) from a fixed seeded table — products stay < 2^52, exact in int64 and
+in DuckDB's BIGINT.
+
+Scale notes (100 TB design):
+* signatures/bands are one narrow projection pass (no shuffle);
+* candidate pairs come from a shuffle on the band key — band buckets are
+  the unit of work, so skewed buckets (boilerplate text) are capped via
+  ``spark.sql.adaptive`` skew splitting plus the band-hash salt inherent
+  to banding;
+* verification joins are semi-joins on (id1, id2) candidate keys only —
+  never an O(n^2) cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 4294967311  # prime > 2^32
+TOKEN_RE = "[a-z0-9_]+"
+
+
+def minhash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 20, size=n_hashes)
+    b = rng.integers(0, 1 << 20, size=n_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def tokens_col(text_col: str):
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def raw_shingles_col(text_col: str, k: int):
+    """k-gram word shingles as strings (space-joined), in document order."""
+    toks = tokens_col(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def shingles_col(text_col: str, k: int):
+    """Distinct k-gram word shingles as strings (space-joined)."""
+    return F.array_distinct(raw_shingles_col(text_col, k))
+
+
+def _shingle_hash(s):
+    """First 8 md5 hex chars as int64 (< 2^32)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content md5 -> (content_md5, n_docs,
+    keep_id = min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """-> (id, sig: array<long> length n_hashes).  One projection pass."""
+    params = minhash_params(n_hashes, seed)
+    sh = shingles_col(text_col, shingle_k)
+    xs = F.transform(sh, _shingle_hash)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(xs, lambda x: (a * x + b) % F.lit(MINHASH_P))
+            )
+            for a, b in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH banding -> candidate (id1 < id2) pairs.
+
+    Explodes each signature into ``bands`` (band_idx, band_key) rows, then
+    self-joins per bucket — the shuffle key is (band_idx, band_key).
+    """
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs -> (id1, id2, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, shingle_k).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs.id1 == F.col("a.id"))
+        .join(b, pairs.id2 == F.col("b.id"))
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline -> verified (id1, id2, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_k).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash_col(text_col: str, bits: int = 32):
+    """``bits``-bit SimHash over tf-weighted token hashes, pure built-ins.
+
+    Per token: h = 32-bit md5-prefix hash; bit i contributes +tf if set
+    else -tf; fingerprint bit i = 1 iff the sum is positive.
+    """
+    toks = tokens_col(text_col)
+    uniq = F.array_distinct(toks)
+    # per distinct token: struct(hash, tf)
+    tok_h = F.transform(
+        uniq,
+        lambda t: F.struct(
+            _shingle_hash(t).alias("h"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    # for each bit: sum of +-tf, then set bit if positive
+    def bit_sum(i: int):
+        return F.aggregate(
+            tok_h,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(
+                F.shiftright(s["h"], i).bitwiseAND(F.lit(1)) == 1, s["tf"]
+            ).otherwise(-s["tf"]),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(bit_sum(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, max_hamming: int = 3, band_bits: int = 8
+) -> DataFrame:
+    """Candidate pairs via 8-bit band blocking, verified by popcount of XOR."""
+    n_bands = 32 // band_bits
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.simhash").alias("s1"),
+            F.col("r.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long").alias(
+            "hamming"
+        ),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,136 @@
+"""Text analysis operators: token counting, quality scoring, language id,
+document fingerprinting.  Pure JVM-side expressions (SQL-replicable for the
+DuckDB oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.pipeline.dedup import tokens_col
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols.
+# Four backslashes: this string is spliced into a Spark SQL literal, whose
+# own escaping consumes one level ('\\s' in SQL -> \s in the regex).
+BPE_RE = "[a-z0-9]+|[^a-z0-9\\\\s]"
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by",
+]
+
+# tiny per-language marker profiles for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+}
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish piece count + distinct word count."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("long").alias(
+            "ws_tokens"
+        ),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_RE}', 0)")
+        ).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_words"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a combined score (deterministic)."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[^a-zA-Z0-9_\\\\s]', 0)")
+    )
+    mean_word_len = F.when(n_toks > 0, n_chars.cast("double") / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_toks > 0, n_stop.cast("double") / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_toks.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-token language heuristic -> (id, lang_pred, lang_hits)."""
+    toks = tokens_col(text_col)
+    hits = {
+        lang: F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(m) for m in markers]), t
+                ),
+            )
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(hits)
+    best = F.greatest(*[hits[l] for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:  # first language in fixed order wins ties
+        pred = pred.when(hits[l] == best, F.lit(l))
+    return df.select(
+        F.col(id_col).alias("id"),
+        pred.otherwise(F.lit("und")).alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing-style fingerprint summary: hash the document's k-gram
+    *sequence* (rolling), take the min hash per sliding window of
+    ``window`` k-grams, keep the distinct set.  Returns a per-doc summary
+    (count / min / max) so results hash stably.  (Schleimer et al.,
+    SIGMOD'03 winnowing scheme.)"""
+    from search_engine_spark.pipeline.dedup import (
+        _shingle_hash,
+        raw_shingles_col,
+    )
+
+    grams = raw_shingles_col(text_col, k)  # k-gram sequence in doc order
+    hashes = F.transform(grams, _shingle_hash)
+    n = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    fps = F.array_distinct(wins)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
