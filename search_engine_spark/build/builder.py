@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.build.kernels import (
     make_doclens_mapper,
-    make_merge_fn,
+    make_merge_stream_fn,
     make_partials_mapper,
 )
 from search_engine_spark.sources.corpus import assign_doc_ids
@@ -68,6 +68,7 @@ class IndexBuilder:
 
         if not overwrite and os.path.isdir(self.store.docs_path):
             return  # phase A is itself a checkpoint
+        n_in = corpus.count()
         with_ids = assign_doc_ids(corpus)
         lens = with_ids.select(
             "doc_id",
@@ -86,6 +87,14 @@ class IndexBuilder:
             .write.mode("overwrite" if overwrite else "error")
             .parquet(self.store.docs_path)
         )
+        # id-assignment integrity: duplicated/dropped ids would silently
+        # corrupt every downstream posting (see assign_doc_ids docstring)
+        n_out = self.store.read_docs().count()
+        if n_out != n_in:
+            raise RuntimeError(
+                f"doc-id assignment corrupted: {n_in} corpus rows -> "
+                f"{n_out} docs rows"
+            )
 
     # ----- phase B: batched postings -----
 
@@ -177,8 +186,19 @@ class IndexBuilder:
         partials = batch_docs.mapInPandas(
             make_partials_mapper(cfg.tokenizer, cfg.chunk_docs), PARTIALS_SCHEMA
         )
-        postings = partials.groupBy("term", "chunk_id").applyInPandas(
-            make_merge_fn(cfg.block_docs, cfg.n_term_buckets), POSTINGS_SCHEMA
+        # merge = shuffle on (term, chunk_id) + in-partition sorted group
+        # stream (see make_merge_stream_fn; the chunk key is the doc-range
+        # salt bounding any one task's share of a skewed term)
+        n_merge_parts = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        postings = (
+            partials.repartition(n_merge_parts, "term", "chunk_id")
+            .sortWithinPartitions("term", "chunk_id")
+            .mapInPandas(
+                make_merge_stream_fn(cfg.block_docs, cfg.n_term_buckets),
+                POSTINGS_SCHEMA,
+            )
         )
         (
             postings.repartition("bucket")
@@ -260,8 +280,11 @@ class IndexBuilder:
             "max_doc_len": int(raw.max_doc_len or 0),
             "max_title_len": int(raw.max_title_len or 0),
         }
+        # total postings from the lineage metrics (committed batches) —
+        # avoids a second full postings scan
+        lineage = self.spark.read.parquet(self.store.lineage_path)
+        total_postings = lineage.agg(F.sum("n_postings")).head()[0] or 0
         postings = self.store.read_postings()
-        total_postings = postings.agg(F.sum("df")).head()[0] or 0
         stats = {**stats_row, "total_postings": int(total_postings)}
         self.spark.createDataFrame([stats]).coalesce(1).write.mode(
             "overwrite"

@@ -89,10 +89,13 @@ def extract_partials_batch(
     td_tft = csum[seg_ends] - csum[td_starts]
     td_tfb = td_counts - td_tft
 
-    # doc lens lookup for the batch
-    len_by_doc = dict(
-        zip(doc_ids.tolist(), zip((len(b) for b in body_lists), (len(t) for t in title_lists)))
-    )
+    # vectorized per-(term,doc) doc/title lengths
+    blens = np.fromiter((len(b) for b in body_lists), np.int64, len(body_lists))
+    tlens = np.fromiter((len(t) for t in title_lists), np.int64, len(title_lists))
+    doc_order = np.argsort(doc_ids, kind="stable")
+    lookup = doc_order[np.searchsorted(doc_ids[doc_order], td_docs)]
+    td_dls = blens[lookup].astype(np.int32)
+    td_tls = tlens[lookup].astype(np.int32)
 
     td_chunks = td_docs // chunk_docs
     # (term, chunk) group boundaries over the (term,doc) rows
@@ -108,20 +111,23 @@ def extract_partials_batch(
     )}
     uniques = np.asarray(uniques, dtype=object)
     pos32 = pos.astype(np.int32)
+    td_tfb32 = td_tfb.astype(np.int32)
+    td_tft32 = td_tft.astype(np.int32)
+    is_body_mask = is_body == 1
+    # numpy array cells (Arrow serializes ndarray cells as lists directly —
+    # no per-int Python conversion)
     for s, e in zip(tc_starts.tolist(), tc_ends.tolist()):
         lo, hi = td_starts[s], seg_ends[e - 1]
-        seg_body = is_body[lo:hi] == 1
-        g_docs = td_docs[s:e]
+        seg_body = is_body_mask[lo:hi]
         out["term"].append(uniques[td_codes[s]])
         out["chunk_id"].append(int(td_chunks[s]))
-        out["doc_ids"].append(g_docs.tolist())
-        out["tfs_body"].append(td_tfb[s:e].astype(np.int32).tolist())
-        out["tfs_title"].append(td_tft[s:e].astype(np.int32).tolist())
-        out["pos_body"].append(pos32[lo:hi][seg_body].tolist())
-        out["pos_title"].append(pos32[lo:hi][~seg_body].tolist())
-        lens = [len_by_doc[d] for d in g_docs.tolist()]
-        out["doc_lens"].append([l[0] for l in lens])
-        out["title_lens"].append([l[1] for l in lens])
+        out["doc_ids"].append(td_docs[s:e])
+        out["tfs_body"].append(td_tfb32[s:e])
+        out["tfs_title"].append(td_tft32[s:e])
+        out["pos_body"].append(pos32[lo:hi][seg_body])
+        out["pos_title"].append(pos32[lo:hi][~seg_body])
+        out["doc_lens"].append(td_dls[s:e])
+        out["title_lens"].append(td_tls[s:e])
     return pd.DataFrame(out)
 
 
@@ -227,42 +233,278 @@ def encode_posting_group(
     }
 
 
-def make_merge_fn(block_docs: int, n_buckets: int):
-    """applyInPandas function for groupBy(term, chunk_id)."""
+def _merge_group(
+    term: str,
+    chunk_id: int,
+    doc_lists: list,
+    tfb_lists: list,
+    tft_lists: list,
+    pos_b_lists: list,
+    pos_t_lists: list,
+    dls_lists: list,
+    tls_lists: list,
+    block_docs: int,
+    n_buckets: int,
+) -> dict:
+    """Merge one (term, chunk) group's partial postings into one encoded
+    row.  Partials from different input partitions may interleave doc ids
+    within the chunk, so a stable sort re-orders them (with per-doc
+    position slices carried along)."""
     from search_engine_spark.sources.index_store import term_bucket
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        chunk_id = int(pdf["chunk_id"].iloc[0])
-        docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]])
-        tfb = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs_body"]])
-        tft = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs_title"]])
-        dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["doc_lens"]])
-        tls = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["title_lens"]])
-        # positions arrive as flat per-partial arrays; per-doc counts are the
-        # tfs, so reorder doc-wise after the doc sort
-        pos_b_parts = [np.asarray(x, dtype=np.int64) for x in pdf["pos_body"]]
-        pos_t_parts = [np.asarray(x, dtype=np.int64) for x in pdf["pos_title"]]
+    docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in doc_lists])
+    tfb = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfb_lists])
+    tft = np.concatenate([np.asarray(x, dtype=np.int64) for x in tft_lists])
+    dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_lists])
+    tls = np.concatenate([np.asarray(x, dtype=np.int64) for x in tls_lists])
+    pos_b_parts = [np.asarray(x, dtype=np.int64) for x in pos_b_lists]
+    pos_t_parts = [np.asarray(x, dtype=np.int64) for x in pos_t_lists]
 
-        order = np.argsort(docs, kind="stable")
-        if not np.array_equal(order, np.arange(docs.size)):
-            # split flat positions into per-doc slices before reordering
-            pos_b_all = _reorder_positions(pos_b_parts, pdf["tfs_body"], order)
-            pos_t_all = _reorder_positions(pos_t_parts, pdf["tfs_title"], order)
-            docs, tfb, tft = docs[order], tfb[order], tft[order]
-            dls, tls = dls[order], tls[order]
-        else:
-            pos_b_all = np.concatenate(pos_b_parts) if pos_b_parts else np.empty(0, np.int64)
-            pos_t_all = np.concatenate(pos_t_parts) if pos_t_parts else np.empty(0, np.int64)
-
-        enc = encode_posting_group(
-            docs, tfb, tft, pos_b_all, pos_t_all, dls, tls, block_docs
+    order = np.argsort(docs, kind="stable")
+    if not np.array_equal(order, np.arange(docs.size)):
+        pos_b_all = _reorder_positions(pos_b_parts, tfb_lists, order)
+        pos_t_all = _reorder_positions(pos_t_parts, tft_lists, order)
+        docs, tfb, tft = docs[order], tfb[order], tft[order]
+        dls, tls = dls[order], tls[order]
+    else:
+        pos_b_all = (
+            np.concatenate(pos_b_parts) if pos_b_parts else np.empty(0, np.int64)
         )
-        row = {"term": term, "chunk_id": chunk_id, **enc,
-               "bucket": term_bucket(term, n_buckets)}
-        return pd.DataFrame([row])
+        pos_t_all = (
+            np.concatenate(pos_t_parts) if pos_t_parts else np.empty(0, np.int64)
+        )
 
-    return merge
+    enc = encode_posting_group(
+        docs, tfb, tft, pos_b_all, pos_t_all, dls, tls, block_docs
+    )
+    return {
+        "term": term,
+        "chunk_id": chunk_id,
+        **enc,
+        "bucket": term_bucket(term, n_buckets),
+    }
+
+
+_PARTIAL_COLS = [
+    "doc_ids", "tfs_body", "tfs_title", "pos_body", "pos_title",
+    "doc_lens", "title_lens",
+]
+
+
+def _excl_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(x.size, dtype=np.int64)
+    if x.size > 1:
+        np.cumsum(x[:-1], out=out[1:])
+    return out
+
+
+def _gather_slices(
+    starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Flat gather indices for variable-length slices [starts_i,
+    starts_i+counts_i)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out_starts = _excl_cumsum(counts)
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, counts)
+        + np.repeat(starts, counts)
+    )
+
+
+def merge_groups_vectorized(
+    cols: dict[str, np.ndarray],
+    g_row_starts: np.ndarray,
+    g_row_ends: np.ndarray,
+    block_docs: int,
+    n_buckets: int,
+) -> pd.DataFrame:
+    """Merge + encode MANY complete (term, chunk) groups in one vectorized
+    pass: a single group-major lexsort orders every posting, a single
+    varbyte encode per column covers all groups (``vb_encode_segments``),
+    and block metadata comes from ``np.{maximum,minimum}.reduceat`` over
+    global block boundaries.  Per-group Python is reduced to byte-slicing
+    and the crc32 bucket of the term."""
+    from search_engine_spark.functions.codec import (
+        delta_with_resets,
+        vb_encode_segments,
+    )
+    from search_engine_spark.sources.index_store import term_bucket
+
+    n_groups = g_row_starts.size
+    # restrict to the covered (contiguous) row span — the caller may hold
+    # back trailing carry rows
+    lo, hi = int(g_row_starts[0]), int(g_row_ends[-1])
+    if lo != 0 or hi != len(cols["doc_ids"]):
+        cols = {c: v[lo:hi] for c, v in cols.items()}
+        g_row_starts = g_row_starts - lo
+        g_row_ends = g_row_ends - lo
+    row_lens = np.fromiter(
+        (len(x) for x in cols["doc_ids"]), dtype=np.int64,
+        count=len(cols["doc_ids"]),
+    )
+    # rows -> flat posting entries
+    docs = np.concatenate([np.asarray(x, np.int64) for x in cols["doc_ids"]])
+    tfb = np.concatenate([np.asarray(x, np.int64) for x in cols["tfs_body"]])
+    tft = np.concatenate([np.asarray(x, np.int64) for x in cols["tfs_title"]])
+    dls = np.concatenate([np.asarray(x, np.int64) for x in cols["doc_lens"]])
+    tls = np.concatenate([np.asarray(x, np.int64) for x in cols["title_lens"]])
+    pos_b = (
+        np.concatenate([np.asarray(x, np.int64) for x in cols["pos_body"]])
+        if len(cols["pos_body"]) else np.empty(0, np.int64)
+    )
+    pos_t = (
+        np.concatenate([np.asarray(x, np.int64) for x in cols["pos_title"]])
+        if len(cols["pos_title"]) else np.empty(0, np.int64)
+    )
+
+    # entries per group via prefix sums over row lengths
+    row_cum = np.concatenate(([0], np.cumsum(row_lens)))
+    g_sizes = row_cum[g_row_ends] - row_cum[g_row_starts]
+    gid = np.repeat(np.arange(n_groups, dtype=np.int64), g_sizes)
+    # doc-sort within each group (group-major overall); docs unique per group
+    order = np.lexsort((docs, gid))
+    docs_s, tfb_s, tft_s = docs[order], tfb[order], tft[order]
+    dls_s, tls_s = dls[order], tls[order]
+
+    # positions: pos arrays are doc-entry-major already, so slice starts are
+    # the exclusive cumsum of tf; gather them into sorted order
+    def sort_positions(pos_flat: np.ndarray, tf_flat: np.ndarray, tf_sorted):
+        starts = _excl_cumsum(tf_flat)
+        return pos_flat[_gather_slices(starts[order], tf_sorted)]
+
+    pos_b_s = sort_positions(pos_b, tfb, tfb_s)
+    pos_t_s = sort_positions(pos_t, tft, tft_s)
+
+    g_starts = _excl_cumsum(g_sizes)  # entry-space group starts
+
+    # ---- encode postings (one pass each, byte-split per group)
+    doc_bytes = vb_encode_segments(delta_with_resets(docs_s, g_starts), g_starts)
+    tfb_bytes = vb_encode_segments(tfb_s.astype(np.uint64), g_starts)
+    tft_bytes = vb_encode_segments(tft_s.astype(np.uint64), g_starts)
+
+    def pos_bytes_of(pos_s: np.ndarray, tf_s: np.ndarray) -> list[bytes]:
+        if pos_s.size == 0:
+            return [b""] * n_groups
+        doc_pos_starts = _excl_cumsum(tf_s)[tf_s > 0]
+        d = np.diff(pos_s, prepend=-1)
+        d[doc_pos_starts] = pos_s[doc_pos_starts] + 1
+        g_pos_starts = np.concatenate(([0], np.cumsum(tf_s)))[g_starts]
+        return vb_encode_segments(d.astype(np.uint64), g_pos_starts)
+
+    pos_b_bytes = pos_bytes_of(pos_b_s, tfb_s)
+    pos_t_bytes = pos_bytes_of(pos_t_s, tft_s)
+
+    # ---- block metadata (global reduceat over per-group block grid)
+    nb_g = (g_sizes + block_docs - 1) // block_docs
+    total_b = int(nb_g.sum())
+    b_gstart = _excl_cumsum(nb_g)  # block-space group starts
+    local_b = np.arange(total_b, dtype=np.int64) - np.repeat(b_gstart, nb_g)
+    bstarts = np.repeat(g_starts, nb_g) + local_b * block_docs
+    g_ends_entries = g_starts + g_sizes
+    blast_idx = np.minimum(
+        bstarts + block_docs, np.repeat(g_ends_entries, nb_g)
+    ) - 1
+    blk_last = docs_s[blast_idx]
+    blk_max_tfb = np.maximum.reduceat(tfb_s, bstarts) if total_b else np.empty(0, np.int64)
+    blk_max_tft = np.maximum.reduceat(tft_s, bstarts) if total_b else np.empty(0, np.int64)
+    blk_min_dl = np.minimum.reduceat(dls_s, bstarts) if total_b else np.empty(0, np.int64)
+    blk_min_tl = np.minimum.reduceat(tls_s, bstarts) if total_b else np.empty(0, np.int64)
+
+    blk_last_bytes = vb_encode_segments(
+        delta_with_resets(blk_last, b_gstart), b_gstart
+    )
+    blk_max_tfb_b = vb_encode_segments(blk_max_tfb.astype(np.uint64), b_gstart)
+    blk_max_tft_b = vb_encode_segments(blk_max_tft.astype(np.uint64), b_gstart)
+    blk_min_dl_b = vb_encode_segments(blk_min_dl.astype(np.uint64), b_gstart)
+    blk_min_tl_b = vb_encode_segments(blk_min_tl.astype(np.uint64), b_gstart)
+
+    terms = [cols["term"][s] for s in g_row_starts.tolist()]
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "chunk_id": [
+                int(cols["chunk_id"][s]) for s in g_row_starts.tolist()
+            ],
+            "df": g_sizes.astype(np.int32),
+            "doc_ids": doc_bytes,
+            "tfs_body": tfb_bytes,
+            "tfs_title": tft_bytes,
+            "pos_body": pos_b_bytes,
+            "pos_title": pos_t_bytes,
+            "blk_last_doc": blk_last_bytes,
+            "blk_max_tfb": blk_max_tfb_b,
+            "blk_max_tft": blk_max_tft_b,
+            "blk_min_dl": blk_min_dl_b,
+            "blk_min_tl": blk_min_tl_b,
+            "bucket": np.array(
+                [term_bucket(t, n_buckets) for t in terms], dtype=np.int32
+            ),
+        }
+    )
+
+
+def make_merge_stream_fn(block_docs: int, n_buckets: int):
+    """mapInPandas merge over partitions pre-sorted by (term, chunk_id).
+
+    A per-(term, chunk) ``applyInPandas`` pays ~1 ms of pandas scaffolding
+    per group — ruinous at real vocabulary sizes (millions of groups).
+    Here the shuffle is ``repartition(term, chunk_id)`` +
+    ``sortWithinPartitions``; each sorted Arrow batch's complete groups are
+    merged in one vectorized pass (``merge_groups_vectorized``) with a
+    carry buffer for the group straddling the batch boundary.
+    """
+
+    def stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: dict | None = None  # columns of the unfinished trailing group
+
+        def run(cols: dict, starts: np.ndarray, ends: np.ndarray):
+            return merge_groups_vectorized(
+                cols, starts, ends, block_docs, n_buckets
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+            if carry is not None:
+                same = (
+                    carry["term"][0] == cols["term"][0]
+                    and carry["chunk_id"][0] == cols["chunk_id"][0]
+                )
+                if same:
+                    cols = {
+                        c: np.concatenate([carry[c], cols[c]]) for c in cols
+                    }
+                else:
+                    yield run(
+                        carry,
+                        np.array([0], dtype=np.int64),
+                        np.array([len(carry["term"])], dtype=np.int64),
+                    )
+                carry = None
+            terms = cols["term"]
+            chunks = cols["chunk_id"]
+            n = terms.size
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            # last group may continue into the next batch — buffer it
+            if starts.size > 1:
+                yield run(cols, starts[:-1], ends[:-1])
+            carry = {c: cols[c][starts[-1]:] for c in cols}
+        if carry is not None and len(carry["term"]):
+            yield run(
+                carry,
+                np.array([0], dtype=np.int64),
+                np.array([len(carry["term"])], dtype=np.int64),
+            )
+
+    return stream
 
 
 def _reorder_positions(parts: list[np.ndarray], tf_lists, order: np.ndarray) -> np.ndarray:

@@ -59,6 +59,40 @@ def vb_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
     return np.add.reduceat(vals, start_idx)
 
 
+def vb_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (the same table vb_encode uses)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return np.searchsorted(_THRESHOLDS, v, side="right") + 1
+
+
+def vb_encode_segments(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> list[bytes]:
+    """Encode one concatenated value array, split into per-segment byte
+    strings.  One vectorized pass regardless of segment count — the
+    per-group encoder loop becomes a byte-slice loop."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * max(len(seg_starts), 0)
+    buf = vb_encode(v)
+    nb = vb_nbytes(v)
+    ends = np.cumsum(nb)
+    byte_starts = np.concatenate(([0], ends))[seg_starts]
+    bounds = np.append(byte_starts, len(buf)).astype(np.int64)
+    return [buf[bounds[i]: bounds[i + 1]] for i in range(len(seg_starts))]
+
+
+def delta_with_resets(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Per-segment delta stream: within a segment gaps, at each segment
+    start ``value + 1`` (the delta_encode_docs convention)."""
+    x = np.ascontiguousarray(values, dtype=np.int64)
+    if x.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    d = np.diff(x, prepend=-1)
+    d[seg_starts] = x[seg_starts] + 1
+    return d.astype(np.uint64)
+
+
 def delta_encode_docs(doc_ids: np.ndarray) -> bytes:
     """Encode a strictly-ascending int array as varbyte'd gaps.
 

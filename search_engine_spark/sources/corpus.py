@@ -34,13 +34,23 @@ def assign_doc_ids(
     corpus: DataFrame, n_partitions: int | None = None
 ) -> DataFrame:
     """Adds dense ``doc_id`` (0..N-1 in (repo, path, commit) order) and
-    ``sha256`` (per-row invariant vs the source corpus)."""
+    ``sha256`` (per-row invariant vs the source corpus).
+
+    The ranged DataFrame is persisted before the counts pass: range
+    partitioning samples its boundaries, and two *separate* evaluations of
+    the same plan can pick different boundaries — the offsets from pass 1
+    would then be applied to a differently-partitioned pass 2, silently
+    duplicating/dropping ids.  Callers must materialize the result (write
+    it) before unpersisting; ``IndexBuilder.build_docs`` additionally
+    asserts row-count conservation.
+    """
     spark = corpus.sparkSession
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
     ranged = corpus.repartitionByRange(n_partitions, *SORT_KEYS).withColumn(
         "_pid", F.spark_partition_id()
     )
+    ranged.persist()
     counts = ranged.groupBy("_pid").count().collect()
     offsets = {}
     acc = 0
