@@ -304,10 +304,22 @@ class IndexBuilder:
         )
         return stats
 
-    def build_all(self, corpus: DataFrame, resume: bool = True) -> dict:
+    def build_trigrams(self) -> None:
+        """Optional vocabulary trigram table for spelling correction
+        (reference ingestion.py:225-333)."""
+        from search_engine_spark.query.spelling import build_trigram_table
+
+        build_trigram_table(self.store)
+
+    def build_all(
+        self, corpus: DataFrame, resume: bool = True, trigrams: bool = False
+    ) -> dict:
         self.build_docs(corpus)
         self.build_postings(corpus, resume=resume)
-        return self.finalize()
+        stats = self.finalize()
+        if trigrams:
+            self.build_trigrams()
+        return stats
 
 
 def _doclens_encode(pdf):

@@ -46,6 +46,10 @@ class EngineConfig:
     # and resumed batches never rewrite earlier (term, chunk) rows.
     chunks_per_batch: int = 64
 
+    # --- spelling correction (reference Q23; trigram table must be built
+    # via IndexBuilder.build_trigrams) ---
+    enable_spelling: bool = False
+
     # --- tokenizer ---
     # "simplemma": re-derivation of simplemma.simple_tokenizer (reference's
     # tokenizer, preprocessing.py:40-44).  "simple": whitespace/word split

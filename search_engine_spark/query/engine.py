@@ -52,6 +52,43 @@ class SearchEngine:
         # resolve committed batches once; re-open an engine to see new data
         self._postings = self.store.read_postings().cache()
         self._doclens = self.store.read_doclens()
+        self._corrector = None
+
+    # ----- spelling correction (reference Q23) -----
+
+    def _correct_tokens(self, tokens: list[str], mode: SearchMode) -> list[str]:
+        """Replace out-of-vocabulary term tokens via the trigram funnel —
+        the reference corrects inside ``get_docs`` on a df==0 miss
+        (inverted_index.py:1107-1115); phrase fetches never correct
+        (:1152-1184)."""
+        import os
+
+        from search_engine_spark.plans.parser import PRECEDENCE
+        from search_engine_spark.query.spelling import SpellingCorrector
+
+        if mode == SearchMode.PHRASE:
+            return tokens
+        if self._corrector is None:
+            if not os.path.isdir(str(self.store.dir / "trigrams")):
+                return tokens
+            self._corrector = SpellingCorrector(self.spark, self.store)
+        dfs = self.store.term_stats_for(tokens)
+        out = []
+        in_phrase = False
+        for t in tokens:
+            if t == '"':
+                in_phrase = not in_phrase
+                out.append(t)
+            elif (
+                in_phrase
+                or t in ("(", ")")
+                or t.upper() in PRECEDENCE
+                or dfs.get(t, 0) > 0
+            ):
+                out.append(t)
+            else:
+                out.append(self._corrector.correct(t))
+        return out
 
     # ----- planning -----
 
@@ -64,6 +101,8 @@ class SearchEngine:
         num_return: int | None = None,
     ) -> CompiledQuery:
         tokens = self._tokenize(query)
+        if self.config.enable_spelling:
+            tokens = self._correct_tokens(tokens, mode)
         # candidate terms for the stats lookup: every non-operator token
         # (operators that survive as terms just come back df=0, harmless)
         dfs = self.store.term_stats_for(tokens)
@@ -178,6 +217,101 @@ class SearchEngine:
                 )
             )
         return self.execute(plans, use_wand=use_wand)
+
+    def rerank(
+        self,
+        plans: list[CompiledQuery],
+        model=None,
+        use_wand: bool = True,
+    ) -> DataFrame:
+        """BM25 top-``num_candidates`` -> 10-feature extraction (second,
+        candidate-focused kernel pass with positions) -> MLP score ->
+        top-``num_return`` (reference Q21/Q22, inverted_index.py:1778-1832).
+        """
+        import numpy as np
+
+        from search_engine_spark.ranking.features import (
+            FEATURES_SCHEMA,
+            make_features_kernel,
+        )
+        from search_engine_spark.ranking.model import RankingModel
+
+        model = model or RankingModel.seeded()
+        live = [p for p in plans if p.tree[0] != EMPTY]
+        if not live:
+            return self._empty_ranked()
+        # stage 1: BM25 candidates (top num_candidates per query)
+        wide = [
+            CompiledQuery(**{**p.__dict__, "num_return": p.num_candidates})
+            for p in live
+        ]
+        cand_rows = self.execute(wide, use_wand=use_wand).collect()
+        candidates: dict[int, np.ndarray] = {}
+        for r in cand_rows:
+            candidates.setdefault(r.qid, []).append(r.doc_id)
+        candidates = {
+            q: np.array(sorted(d), dtype=np.int64)
+            for q, d in candidates.items()
+        }
+        if not candidates:
+            return self._empty_ranked()
+        # stage 2: feature extraction + MLP on candidate chunks only
+        fetch_terms = sorted({t for p in live for t in p.fetch_terms})
+        buckets = sorted(
+            {term_bucket(t, self.config.n_term_buckets) for t in fetch_terms}
+        )
+        cand_chunks = sorted(
+            {
+                int(d) // self.config.chunk_docs
+                for arr in candidates.values()
+                for d in arr
+            }
+        )
+        postings = self._postings.where(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(fetch_terms)
+            & F.col("chunk_id").isin(cand_chunks)
+        ).select(*(_BASE_COLS + _POS_COLS))
+        doclens = self._doclens.where(F.col("chunk_id").isin(cand_chunks))
+        kernel = make_features_kernel(
+            live,
+            candidates,
+            model.w,
+            {
+                "num_docs": int(self.stats["num_docs"]),
+                "avg_doc_len": float(self.stats["avg_doc_len"]),
+                "avg_title_len": float(self.stats["avg_title_len"]),
+                "max_doc_len": int(self.stats["max_doc_len"]),
+                "max_title_len": int(self.stats["max_title_len"]),
+            },
+            self.config.k1,
+            self.config.b,
+            self.config.title_weight,
+        )
+        scored = (
+            postings.groupby("chunk_id")
+            .cogroup(doclens.groupby("chunk_id"))
+            .applyInPandas(kernel, FEATURES_SCHEMA)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("mlp_score"), F.asc("doc_id")
+        )
+        max_n = max(p.num_return for p in live)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(max_n))
+            .withColumnRenamed("mlp_score", "score")
+        )
+
+    def search_reranked(
+        self,
+        query: str,
+        mode: SearchMode = SearchMode.QUERY_EVALUATOR,
+        model=None,
+        num_return: int | None = None,
+    ) -> DataFrame:
+        plan = self.compile(query, mode, num_return=num_return)
+        return self.rerank([plan], model=model)
 
     def with_doc_info(
         self, ranked: DataFrame, corpus: DataFrame | None = None

@@ -1,0 +1,152 @@
+"""Spelling correction (Q23) + MLP re-rank (Q21/Q22) paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_engine_spark.build.builder import IndexBuilder
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.functions.trigrams import (
+    get_trigrams_from_token,
+    levenshtein,
+)
+from search_engine_spark.oracle.refsem import RefSemIndex
+from search_engine_spark.plans.parser import SearchMode
+from search_engine_spark.query.engine import SearchEngine
+from search_engine_spark.ranking.model import RankingModel
+from search_engine_spark.testing.synth import corpus_to_tokens, synth_corpus
+
+CFG = EngineConfig(
+    chunk_docs=64, chunks_per_batch=2, block_docs=8, n_term_buckets=8,
+    enable_spelling=True,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    rows = synth_corpus(n_docs=120, seed=13)
+    corpus = spark.createDataFrame(rows)
+    index_dir = str(tmp_path_factory.mktemp("spellidx"))
+    IndexBuilder(spark, index_dir, CFG).build_all(corpus, trigrams=True)
+    engine = SearchEngine(spark, index_dir, CFG)
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    return engine, oracle
+
+
+def test_trigram_extraction_matches_reference_shape():
+    # reference utils.py:15-43 sliding scheme with $ boundaries
+    assert get_trigrams_from_token("a") == {"$a$"}
+    assert get_trigrams_from_token("ab") == {"$ab", "ab$"}
+    assert get_trigrams_from_token("abc") == {"$ab", "abc", "bc$"}
+    assert get_trigrams_from_token("abcd") == {"$ab", "abc", "bcd", "cd$"}
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+
+
+def test_misspelled_query_corrected(setup):
+    """An OOV typo is replaced through the trigram->Jaccard->edit-distance
+    ->max-df funnel; the engine's results equal searching the corrected
+    token directly.  (The funnel's last stage is argmax *df* — reference
+    inverted_index.py:1037-1041 — so on a tiny vocabulary the winner can
+    be a high-df sibling rather than the intended word.)"""
+    from search_engine_spark.query.spelling import SpellingCorrector
+
+    engine, oracle = setup
+    corrector = SpellingCorrector(engine.spark, engine.store)
+    fixed = corrector.correct("zqmrge")
+    assert fixed != "zqmrge"  # something was found
+    _n, ref_top = oracle.search_text(fixed, SearchMode.AND)
+    got = engine.search("zqmrge", SearchMode.AND).collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        d for _s, d in ref_top
+    ]
+    # deterministic
+    assert corrector.correct("zqmrge") == fixed
+
+
+def test_invocab_token_not_corrected(setup):
+    engine, oracle = setup
+    _n, ref_top = oracle.search_text("zqmerge", SearchMode.AND)
+    got = engine.search("zqmerge", SearchMode.AND).collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        d for _s, d in ref_top
+    ]
+
+
+def test_rerank_permutes_candidates(setup):
+    """Re-ranked top-k is a subset of the BM25 candidate set, ordered by
+    the (deterministic seeded) MLP score."""
+    engine, _oracle = setup
+    plan = engine.compile("zqmerge zqshard", SearchMode.OR, num_return=5)
+    base = engine.execute(
+        [type(plan)(**{**plan.__dict__, "num_return": plan.num_candidates})]
+    ).collect()
+    cand_ids = {r.doc_id for r in base}
+    model = RankingModel.seeded()
+    rr = engine.rerank([plan], model=model).collect()
+    assert 0 < len(rr) <= 5
+    assert {r.doc_id for r in rr} <= cand_ids
+    scores = [r.score for r in sorted(rr, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic across runs
+    rr2 = engine.rerank([plan], model=model).collect()
+    assert sorted((r.doc_id, r.score) for r in rr) == sorted(
+        (r.doc_id, r.score) for r in rr2
+    )
+
+
+def test_feature_values_match_reference_semantics(setup):
+    """Spot-check the 10 features for one candidate against a direct
+    oracle-side computation (first-occurrence / length normalizations,
+    inverted_index.py:1337-1360)."""
+    engine, oracle = setup
+    import pandas as pd
+
+    from search_engine_spark.query.kernels import (
+        decode_doclens_row,
+        decode_term_row,
+    )
+    from search_engine_spark.ranking.features import chunk_features
+
+    plan = engine.compile("zqmerge", SearchMode.AND)
+    from pyspark.sql import functions as F
+
+    rows = (
+        engine._postings.where(F.col("term") == "zqmerge")
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert rows
+    row = rows[0]
+    chunk_row = (
+        engine._doclens.where(F.col("chunk_id") == row.chunk_id).head()
+    )
+    terms = {"zqmerge": decode_term_row(row, True, False)}
+    chunk = decode_doclens_row(chunk_row)
+    cand = terms["zqmerge"].docs[:3]
+    stats = {
+        "avg_doc_len": float(engine.stats["avg_doc_len"]),
+        "avg_title_len": float(engine.stats["avg_title_len"]),
+        "max_doc_len": int(engine.stats["max_doc_len"]),
+        "max_title_len": int(engine.stats["max_title_len"]),
+    }
+    feats = chunk_features(
+        plan, cand, terms, chunk, stats, 1.6, 0.75, 2.0
+    )
+    p = oracle.index["zqmerge"]
+    for i, doc in enumerate(cand.tolist()):
+        j = p.doc_ids.index(doc)
+        dl = oracle.doc_lengths[doc]
+        tl = oracle.title_lengths[doc]
+        fo_body = p.pos_body[j][0] / dl if p.pos_body[j] else 1.0
+        fo_title = p.pos_title[j][0] / tl if p.pos_title[j] else 1.0
+        assert feats[i, 3] == pytest.approx(fo_body)
+        assert feats[i, 4] == pytest.approx(fo_title)
+        assert feats[i, 7] == pytest.approx(dl / stats["max_doc_len"])
+        assert feats[i, 8] == pytest.approx(tl / stats["max_title_len"])
+        assert feats[i, 9] == (1.0 if p.pos_title[j] else 0.0)
