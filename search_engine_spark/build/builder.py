@@ -66,6 +66,7 @@ class IndexBuilder:
         """Dense doc_id assignment + sha256 + tokenized lengths -> docs/."""
         import os
 
+        self.store.write_meta()  # pin layout params for query-side readers
         if not overwrite and os.path.isdir(self.store.docs_path):
             return  # phase A is itself a checkpoint
         n_in = corpus.count()

@@ -47,6 +47,9 @@ class SearchEngine:
         self.spark = spark
         self.config = config or EngineConfig()
         self.store = IndexStore(spark, index_dir, self.config)
+        # layout params (bucket count, chunk size, tokenizer, ...) come from
+        # the index itself — a mismatch would empty every pruned lookup
+        self.config = self.store.load_meta_into_config()
         self.stats = self.store.read_stats()
         self._tokenize = get_tokenizer(self.config.tokenizer)
         # resolve committed batches once; re-open an engine to see new data

@@ -84,11 +84,47 @@ DOCLENS_SCHEMA = T.StructType(
 )
 
 
+# layout fields baked into a built index — queries MUST use the builder's
+# values (a bucket-count mismatch silently empties every term lookup)
+LAYOUT_FIELDS = (
+    "chunk_docs", "block_docs", "n_term_buckets", "chunks_per_batch",
+    "tokenizer",
+)
+
+
 class IndexStore:
     def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig):
         self.spark = spark
         self.dir = Path(index_dir)
         self.config = config
+
+    # ----- layout metadata -----
+    @property
+    def meta_path(self) -> str:
+        return str(self.dir / "meta.json")
+
+    def write_meta(self) -> None:
+        import json
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        meta = {f: getattr(self.config, f) for f in LAYOUT_FIELDS}
+        meta["engine_version"] = "0.1.0"
+        with open(self.meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    def load_meta_into_config(self) -> EngineConfig:
+        """Returns the config with layout fields replaced by the values the
+        index was built with (no-op if no meta file)."""
+        import dataclasses
+        import json
+
+        if not os.path.exists(self.meta_path):
+            return self.config
+        with open(self.meta_path) as fh:
+            meta = json.load(fh)
+        overrides = {f: meta[f] for f in LAYOUT_FIELDS if f in meta}
+        self.config = dataclasses.replace(self.config, **overrides)
+        return self.config
 
     # ----- paths -----
     @property

@@ -149,3 +149,23 @@ def test_empty_query_is_empty(setup):
     assert [(r.doc_id, r.score) for r in sorted(got, key=lambda r: r.rank)] == [
         (i, 0.0) for i in range(10)
     ]
+
+
+def test_layout_config_comes_from_index_meta(spark, tmp_path):
+    """Opening an index with a mismatched layout config must still work:
+    the store's meta.json pins bucket count / chunk size / tokenizer."""
+    from search_engine_spark.testing.synth import synth_corpus
+
+    rows = synth_corpus(n_docs=60, seed=2)
+    d = str(tmp_path / "meta_idx")
+    IndexBuilder(spark, d, CFG).build_all(spark.createDataFrame(rows))
+    # open with defaults (different n_term_buckets / chunk_docs)
+    eng = SearchEngine(spark, d, EngineConfig())
+    assert eng.config.n_term_buckets == CFG.n_term_buckets
+    assert eng.config.chunk_docs == CFG.chunk_docs
+    got = eng.search("zqmerge", SearchMode.AND).collect()
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    _n, ref_top = oracle.search_text("zqmerge", SearchMode.AND)
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        d_ for _s, d_ in ref_top
+    ]
