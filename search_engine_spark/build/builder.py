@@ -32,13 +32,11 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.build.kernels import (
-    make_doclens_mapper,
     make_merge_stream_fn,
     make_partials_mapper,
 )
 from search_engine_spark.sources.corpus import assign_doc_ids
 from search_engine_spark.sources.index_store import (
-    DOCLENS_SCHEMA,
     IndexStore,
     PARTIALS_SCHEMA,
     POSTINGS_SCHEMA,
@@ -71,19 +69,12 @@ class IndexBuilder:
             return  # phase A is itself a checkpoint
         n_in = corpus.count()
         with_ids = assign_doc_ids(corpus)
-        lens = with_ids.select(
-            "doc_id",
-            F.col(self.title_col).alias("title"),
-            F.col(self.body_col).alias("body"),
-        ).mapInPandas(
-            make_doclens_mapper(self.config.tokenizer),
-            "doc_id long, doc_len int, title_len int",
-        )
+        # doc/title token lengths are NOT computed here — the batch phase
+        # tokenizes exactly once and emits doclens through the posting
+        # shuffle (reserved term "", build/kernels.py)
         (
-            with_ids.join(lens, "doc_id")
-            .select(
-                "doc_id", "repo", "path", "commit", "lang", "sha256",
-                "doc_len", "title_len",
+            with_ids.select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256"
             )
             .write.mode("overwrite" if overwrite else "error")
             .parquet(self.store.docs_path)
@@ -210,22 +201,25 @@ class IndexBuilder:
             .parquet(self.store.postings_batch_path(batch_id))
         )
 
-        # doclens chunks for this batch (from docs table — already tokenized)
-        doclens = (
-            self.store.read_docs()
-            .where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            .select("doc_id", "doc_len", "title_len")
-            .withColumn("chunk_id", (F.col("doc_id") / cfg.chunk_docs).cast("long"))
-            .groupBy("chunk_id")
-            .applyInPandas(_doclens_encode, DOCLENS_SCHEMA)
+        # doclens for this batch: copy the reserved-term "" rows (one
+        # bucket, bloom-pruned) written by the posting merge into the
+        # doclens layout
+        written = self.spark.read.option(
+            "basePath", str(self.store.dir / "postings")
+        ).parquet(self.store.postings_batch_path(batch_id))
+        doclens = written.where(F.col("term") == "").select(
+            "chunk_id",
+            F.col("df").cast("int").alias("n_docs"),
+            "doc_ids",
+            F.col("tfs_body").alias("doc_lens"),
+            F.col("tfs_title").alias("title_lens"),
         )
         doclens.write.mode("overwrite").parquet(
             self.store.doclens_batch_path(batch_id)
         )
 
         # batch metrics from the written output (metadata-cheap scans)
-        written = self.spark.read.parquet(self.store.postings_batch_path(batch_id))
-        agg = written.agg(
+        agg = written.where(F.col("term") != "").agg(
             F.count("*").alias("rows"),
             F.sum("df").alias("postings"),
             F.sum(
@@ -261,14 +255,17 @@ class IndexBuilder:
     # ----- finalize: collection stats + term stats -----
 
     def finalize(self) -> dict:
-        docs = self.store.read_docs()
-        raw = docs.agg(
-            F.count("*").alias("num_docs"),
-            F.sum("doc_len").alias("sum_doc_len"),
-            F.sum("title_len").alias("sum_title_len"),
-            F.max("doc_len").alias("max_doc_len"),
-            F.max("title_len").alias("max_title_len"),
-        ).head()
+        raw = (
+            self.store.read_doc_lens()
+            .agg(
+                F.count("*").alias("num_docs"),
+                F.sum("doc_len").alias("sum_doc_len"),
+                F.sum("title_len").alias("sum_title_len"),
+                F.max("doc_len").alias("max_doc_len"),
+                F.max("title_len").alias("max_title_len"),
+            )
+            .head()
+        )
         # averages as exact-int-sum / count (one float division) — the
         # reference computes cumulative int sums then divides
         # (ingestion.py:899-910), and rank-identity requires bit-equal
@@ -291,7 +288,7 @@ class IndexBuilder:
             "overwrite"
         ).parquet(self.store.stats_path)
 
-        term_stats = postings.groupBy("bucket", "term").agg(
+        term_stats = postings.where(F.col("term") != "").groupBy("bucket", "term").agg(
             F.sum("df").cast("long").alias("df"),
             F.count("*").alias("n_chunks"),
         )
@@ -321,25 +318,3 @@ class IndexBuilder:
         if trigrams:
             self.build_trigrams()
         return stats
-
-
-def _doclens_encode(pdf):
-    import numpy as np
-    import pandas as pd
-
-    from search_engine_spark.functions.codec import delta_encode_docs, vb_encode
-
-    pdf = pdf.sort_values("doc_id")
-    ids = pdf["doc_id"].to_numpy(np.int64)
-    return pd.DataFrame(
-        [
-            {
-                "chunk_id": int(pdf["chunk_id"].iloc[0]),
-                "first_doc": int(ids[0]),
-                "n_docs": int(ids.size),
-                "doc_ids": delta_encode_docs(ids),
-                "doc_lens": vb_encode(pdf["doc_len"].to_numpy(np.uint64)),
-                "title_lens": vb_encode(pdf["title_len"].to_numpy(np.uint64)),
-            }
-        ]
-    )

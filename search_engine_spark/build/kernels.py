@@ -67,8 +67,40 @@ def extract_partials_batch(
         [np.zeros(t_terms.size, dtype=np.int8), np.ones(b_terms.size, dtype=np.int8)]
     )
 
+    out = {k: [] for k in (
+        "term", "chunk_id", "doc_ids", "tfs_body", "tfs_title",
+        "pos_body", "pos_title", "doc_lens", "title_lens",
+    )}
+    blens = np.fromiter((len(b) for b in body_lists), np.int64, len(body_lists))
+    tlens = np.fromiter((len(t) for t in title_lists), np.int64, len(title_lists))
+    # doclens pseudo-groups: reserved term "" (no tokenizer emits an empty
+    # token) carries (doc_id -> doc_len/title_len) through the same shuffle
+    # and merge as a regular posting group — tokenize once, not twice.
+    # Emitted from doc_ids directly so zero-token docs are still covered.
+    d_order = np.argsort(doc_ids, kind="stable")
+    d_sorted = doc_ids[d_order]
+    d_blens = blens[d_order].astype(np.int32)
+    d_tlens = tlens[d_order].astype(np.int32)
+    d_chunks = d_sorted // chunk_docs
+    dc_change = np.empty(d_sorted.size, dtype=bool)
+    dc_change[0] = True
+    dc_change[1:] = d_chunks[1:] != d_chunks[:-1]
+    dc_starts = np.flatnonzero(dc_change)
+    dc_ends = np.append(dc_starts[1:], d_sorted.size)
+    empty32 = np.empty(0, dtype=np.int32)
+    for s, e in zip(dc_starts.tolist(), dc_ends.tolist()):
+        out["term"].append("")
+        out["chunk_id"].append(int(d_chunks[s]))
+        out["doc_ids"].append(d_sorted[s:e])
+        out["tfs_body"].append(d_blens[s:e])
+        out["tfs_title"].append(d_tlens[s:e])
+        out["pos_body"].append(empty32)
+        out["pos_title"].append(empty32)
+        out["doc_lens"].append(d_blens[s:e])
+        out["title_lens"].append(d_tlens[s:e])
+
     if terms.size == 0:
-        return _empty_partials()
+        return pd.DataFrame(out)
 
     codes, uniques = pd.factorize(terms, sort=True)
     order = np.lexsort((pos, is_body, docs, codes))
@@ -90,9 +122,7 @@ def extract_partials_batch(
     td_tfb = td_counts - td_tft
 
     # vectorized per-(term,doc) doc/title lengths
-    blens = np.fromiter((len(b) for b in body_lists), np.int64, len(body_lists))
-    tlens = np.fromiter((len(t) for t in title_lists), np.int64, len(title_lists))
-    doc_order = np.argsort(doc_ids, kind="stable")
+    doc_order = d_order
     lookup = doc_order[np.searchsorted(doc_ids[doc_order], td_docs)]
     td_dls = blens[lookup].astype(np.int32)
     td_tls = tlens[lookup].astype(np.int32)
@@ -105,10 +135,6 @@ def extract_partials_batch(
     tc_starts = np.flatnonzero(tc_change)
     tc_ends = np.append(tc_starts[1:], td_codes.size)
 
-    out = {k: [] for k in (
-        "term", "chunk_id", "doc_ids", "tfs_body", "tfs_title",
-        "pos_body", "pos_title", "doc_lens", "title_lens",
-    )}
     uniques = np.asarray(uniques, dtype=object)
     pos32 = pos.astype(np.int32)
     td_tfb32 = td_tfb.astype(np.int32)
@@ -320,6 +346,7 @@ def merge_groups_vectorized(
     g_row_ends: np.ndarray,
     block_docs: int,
     n_buckets: int,
+    skip_positions: bool = False,
 ) -> pd.DataFrame:
     """Merge + encode MANY complete (term, chunk) groups in one vectorized
     pass: a single group-major lexsort orders every posting, a single
@@ -375,8 +402,12 @@ def merge_groups_vectorized(
         starts = _excl_cumsum(tf_flat)
         return pos_flat[_gather_slices(starts[order], tf_sorted)]
 
-    pos_b_s = sort_positions(pos_b, tfb, tfb_s)
-    pos_t_s = sort_positions(pos_t, tft, tft_s)
+    if skip_positions:  # doclens pseudo-groups: "tf" is a length, no pos
+        pos_b_s = np.empty(0, np.int64)
+        pos_t_s = np.empty(0, np.int64)
+    else:
+        pos_b_s = sort_positions(pos_b, tfb, tfb_s)
+        pos_t_s = sort_positions(pos_t, tft, tft_s)
 
     g_starts = _excl_cumsum(g_sizes)  # entry-space group starts
 
@@ -461,9 +492,28 @@ def make_merge_stream_fn(block_docs: int, n_buckets: int):
         carry: dict | None = None  # columns of the unfinished trailing group
 
         def run(cols: dict, starts: np.ndarray, ends: np.ndarray):
-            return merge_groups_vectorized(
-                cols, starts, ends, block_docs, n_buckets
+            # reserved-term "" doclens groups sort first (contiguous
+            # prefix) and carry lengths, not positions
+            first_terms = np.array(
+                [cols["term"][s] for s in starts.tolist()], dtype=object
             )
+            is_dl = first_terms == ""
+            frames = []
+            if is_dl.any():
+                frames.append(
+                    merge_groups_vectorized(
+                        cols, starts[is_dl], ends[is_dl], block_docs,
+                        n_buckets, skip_positions=True,
+                    )
+                )
+            if (~is_dl).any():
+                frames.append(
+                    merge_groups_vectorized(
+                        cols, starts[~is_dl], ends[~is_dl], block_docs,
+                        n_buckets,
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
 
         for pdf in batches:
             if len(pdf) == 0:

@@ -148,7 +148,8 @@ TERM_LIST = ["dup", "batch", "stream", "spark", "window", "scan", "zzzmissing"]
 def q_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs table: dense ids, token doc_len, per-row sha256 invariant."""
     engine = get_engine(spark, sf_dir)
-    return engine.store.read_docs().select(
+    lens = engine.store.read_doc_lens()
+    return engine.store.read_docs().join(lens, "doc_id").select(
         "doc_id", F.col("doc_len").cast("long").alias("doc_len"), "sha256"
     )
 

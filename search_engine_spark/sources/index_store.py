@@ -75,7 +75,6 @@ PARTIALS_SCHEMA = T.StructType(
 DOCLENS_SCHEMA = T.StructType(
     [
         T.StructField("chunk_id", T.LongType(), False),
-        T.StructField("first_doc", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("doc_lens", T.BinaryType(), False),
@@ -176,6 +175,33 @@ class IndexStore:
 
     def read_docs(self) -> DataFrame:
         return self.spark.read.parquet(self.docs_path)
+
+    def read_doc_lens(self) -> DataFrame:
+        """Decoded per-doc token lengths -> (doc_id, doc_len, title_len)."""
+
+        def decode(batches):
+            import pandas as pd
+
+            from search_engine_spark.functions.codec import (
+                delta_decode_docs,
+                vb_decode,
+            )
+
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": delta_decode_docs(row.doc_ids),
+                            "doc_len": vb_decode(row.doc_lens).astype("int32"),
+                            "title_len": vb_decode(row.title_lens).astype(
+                                "int32"
+                            ),
+                        }
+                    )
+
+        return self.read_doclens().mapInPandas(
+            decode, "doc_id long, doc_len int, title_len int"
+        )
 
     def read_stats(self) -> dict:
         row = self.spark.read.parquet(self.stats_path).head()
