@@ -126,3 +126,67 @@ def test_term_stats(built):
     oracle = RefSemIndex(corpus_to_tokens(rows))
     ts = {r.term: r.df for r in builder.store.read_term_stats().collect()}
     assert ts == {t: len(p.doc_ids) for t, p in oracle.index.items()}
+
+
+def test_skewed_term_rows_bounded_by_chunk(spark, tmp_path):
+    """A stop-word appearing in EVERY doc must be split into doc-range
+    chunk rows of bounded size — the explicit salt for high-DF terms
+    (north_rule).  No single (term, chunk) row exceeds chunk_docs."""
+    from search_engine_spark.build.builder import IndexBuilder
+
+    cfg = EngineConfig(chunk_docs=16, chunks_per_batch=2, block_docs=4,
+                       n_term_buckets=4)
+    rows = [
+        {
+            "repo": "r",
+            "path": f"p{i:04d}",
+            "commit": "c",
+            "lang": "x",
+            "content": f"stopword unique_{i}",
+        }
+        for i in range(100)
+    ]
+    d = str(tmp_path / "skew")
+    IndexBuilder(spark, d, cfg).build_all(spark.createDataFrame(rows))
+    stop_rows = (
+        IndexBuilder(spark, d, cfg).store.read_postings()
+        .where(F.col("term") == "stopword")
+        .collect()
+    )
+    assert len(stop_rows) == (100 + 15) // 16  # one row per chunk
+    assert all(r.df <= 16 for r in stop_rows)
+    assert sum(r.df for r in stop_rows) == 100
+    # rows are doc-range disjoint and ordered by chunk
+    spans = sorted(
+        (r.chunk_id, delta_decode_docs(bytes(r.doc_ids))) for r in stop_rows
+    )
+    last = -1
+    for _c, ids in spans:
+        assert ids[0] > last
+        last = int(ids[-1])
+
+
+def test_postings_scan_pushdown(spark, tmp_path):
+    """Term + bucket filters reach the parquet scan (PushedFilters /
+    partition pruning), and unused columns are pruned from ReadSchema."""
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.sources.index_store import term_bucket
+
+    cfg = EngineConfig(chunk_docs=64, chunks_per_batch=2, block_docs=8,
+                       n_term_buckets=8)
+    rows = synth_corpus(n_docs=80, seed=9)
+    d = str(tmp_path / "pushdown")
+    b = IndexBuilder(spark, d, cfg)
+    b.build_all(spark.createDataFrame(rows))
+    bucket = term_bucket("zqmerge", cfg.n_term_buckets)
+    scan = (
+        b.store.read_postings()
+        .where((F.col("bucket") == bucket) & (F.col("term") == "zqmerge"))
+        .select("term", "chunk_id", "df", "doc_ids")
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zqmerge" in plan
+    # partition pruning on bucket
+    assert "bucket" in plan
+    # column pruning: position columns not read
+    assert "pos_body" not in plan.split("ReadSchema")[-1]
