@@ -87,7 +87,7 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         tokenizer="simplemma",
         idf_threshold=-1.0e18,  # no pruning: queries do real scoring work
         chunk_docs=1 << 14,
-        chunks_per_batch=16,
+        chunks_per_batch=64,  # one lineage batch up to ~1M docs
         n_term_buckets=16,
     )
     corpus = build_corpus(spark, sf_dir, replicas).cache()

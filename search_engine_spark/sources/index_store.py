@@ -7,8 +7,13 @@ lineage row is committed — readers resolve the committed batch list first
 and read only those paths, which is the same commit protocol an Iceberg
 manifest would give us):
 
-``docs/``        doc_id, repo, path, commit, lang, sha256, doc_len, title_len
-``doclens/batch=K/``  chunk_id, first_doc, n_docs, doc_lens(bin), title_lens(bin)
+``meta.json``    layout params pinned at build time (chunk_docs, buckets,
+                 tokenizer, ...) — queries always read these, never trust
+                 caller config
+``docs/``        doc_id, repo, path, commit, lang, sha256
+``doclens/batch=K/``  chunk_id, n_docs, doc_ids(bin), doc_lens(bin),
+    title_lens(bin) — copied from the reserved-term "" rows the posting
+    merge emits (single tokenize pass; build/kernels.py)
 ``postings/batch=K/bucket=B/``  term, chunk_id, df, doc_ids(bin),
     tfs_body(bin), tfs_title(bin), pos_body(bin), pos_title(bin),
     blk_last_doc(bin), blk_max_tfb(bin), blk_max_tft(bin),
