@@ -167,6 +167,15 @@ class IndexBuilder:
             & (F.struct("repo", "path", "commit") <= F.struct(F.lit(khi.repo), F.lit(khi.path), F.lit(khi.commit)))
         )
         docs_slice = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        # The docs side is small enough to broadcast, so the join output
+        # inherits the corpus slice's partitioning — if the input arrives
+        # in few partitions (single file, coalesced upstream), the whole
+        # tokenize stage would run on those few Python workers.  Spread the
+        # slice to full parallelism first; the extra round-robin shuffle of
+        # one batch's raw text is noise next to serial tokenization.
+        n_parts = self.spark.sparkContext.defaultParallelism
+        if corpus_slice.rdd.getNumPartitions() < n_parts:
+            corpus_slice = corpus_slice.repartition(n_parts)
         batch_docs = corpus_slice.join(
             docs_slice, ["repo", "path", "commit"]
         ).select(
