@@ -311,6 +311,35 @@ class IndexBuilder:
         )
         return stats
 
+    def verify_corpus(self, corpus: DataFrame) -> dict:
+        """Per-row content sha256 equality between the docs table and the
+        source corpus (north-rule invariant).  Returns mismatch counts —
+        all zero on a healthy index."""
+        src = corpus.select(
+            "repo", "path", "commit",
+            F.sha2(F.col(self.body_col), 256).alias("src_sha"),
+        )
+        docs = self.store.read_docs().select(
+            "repo", "path", "commit", "sha256"
+        )
+        joined = docs.join(src, ["repo", "path", "commit"], "full_outer")
+        row = joined.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("sha256").isNull() | F.col("src_sha").isNull(), 1
+                ).otherwise(0)
+            ).alias("missing"),
+            F.sum(
+                F.when(F.col("sha256") != F.col("src_sha"), 1).otherwise(0)
+            ).alias("sha_mismatch"),
+        ).head()
+        return {
+            "rows": int(row.n),
+            "missing": int(row.missing or 0),
+            "sha_mismatch": int(row.sha_mismatch or 0),
+        }
+
     def build_trigrams(self) -> None:
         """Optional vocabulary trigram table for spelling correction
         (reference ingestion.py:225-333)."""

@@ -54,7 +54,7 @@ class SearchEngine:
         self._tokenize = get_tokenizer(self.config.tokenizer)
         # resolve committed batches once; re-open an engine to see new data
         self._postings = self.store.read_postings().cache()
-        self._doclens = self.store.read_doclens()
+        self._doclens = self.store.read_doclens().cache()
         self._corrector = None
 
     # ----- spelling correction (reference Q23) -----

@@ -190,3 +190,22 @@ def test_postings_scan_pushdown(spark, tmp_path):
     assert "bucket" in plan
     # column pruning: position columns not read
     assert "pos_body" not in plan.split("ReadSchema")[-1]
+
+
+def test_verify_corpus_sha_invariant(built, spark):
+    rows, builder, _ = built
+    corpus = spark.createDataFrame(rows)
+    res = builder.verify_corpus(corpus)
+    assert res == {"rows": len(rows), "missing": 0, "sha_mismatch": 0}
+    # tampered corpus is detected
+    from pyspark.sql import functions as F
+
+    tampered = corpus.withColumn(
+        "content",
+        F.when(F.col("path") == rows[0]["path"],
+               F.concat(F.col("content"), F.lit("x"))).otherwise(
+            F.col("content")
+        ),
+    )
+    res2 = builder.verify_corpus(tampered)
+    assert res2["sha_mismatch"] >= 1
