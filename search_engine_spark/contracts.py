@@ -121,7 +121,10 @@ def get_engine(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key in _ENGINES:
         return _ENGINES[key]
-    tag = hashlib.sha256(f"{key}|v1".encode()).hexdigest()[:12]
+    # bump LAYOUT_V whenever the on-disk index layout changes — a stale
+    # cached dir under /tmp from an older layout must not be reused
+    LAYOUT_V = "v2-doclens-in-postings"
+    tag = hashlib.sha256(f"{key}|{LAYOUT_V}".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"se_contract_{tag}")
     builder = IndexBuilder(spark, index_dir, CONTRACT_CONFIG)
     corpus = corpus_from_documents(spark, sf_dir)
