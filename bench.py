@@ -267,10 +267,16 @@ def main() -> None:
                     > best["detail"]["build_docs_per_sec"]
                 ):
                     results[c] = r
-        thr_lo = results[lo_c]["detail"]["build_docs_per_sec"]
-        thr_hi = results[hi_c]["detail"]["build_docs_per_sec"]
+        # median throughput per config — robust to this host's +-20%
+        # run-to-run noise (all runs are reported in detail.runs)
+        med = {
+            c: statistics.median(
+                x["build_docs_per_sec"] for x in all_runs[c]
+            )
+            for c in (lo_c, hi_c)
+        }
         ratio = hi_c / lo_c
-        eff = thr_hi / (ratio * thr_lo)
+        eff = med[hi_c] / (ratio * med[lo_c])
         q_lo = results[lo_c]["detail"]["query_batch_all_sec"]
         q_hi = results[hi_c]["detail"]["query_batch_all_sec"]
         summary = {
@@ -278,10 +284,14 @@ def main() -> None:
             "value": round(eff, 3),
             "unit": "ratio",
             "sf": _sf_of(sf_dir),
-            f"build_docs_per_sec_{lo_c}": thr_lo,
-            f"build_docs_per_sec_{hi_c}": thr_hi,
+            f"build_docs_per_sec_{lo_c}": round(med[lo_c], 1),
+            f"build_docs_per_sec_{hi_c}": round(med[hi_c], 1),
+            "estimator": f"median of {trials} interleaved trials per level",
             "query_batch_speedup": round(q_lo / q_hi, 3) if q_hi else None,
-            "detail": {str(c): r["detail"] for c, r in results.items()},
+            "detail": {
+                str(c): {**results[c]["detail"], "runs": all_runs[c]}
+                for c in (lo_c, hi_c)
+            },
         }
         print(json.dumps(summary))
         return

@@ -5,9 +5,11 @@ per-``(term, chunk)`` partial posting rows (numpy lexsort/segment
 reduction — no per-row Python beyond the regex tokenizer call itself,
 which is inherently per-document).
 
-``merge_partials``: executed per ``(term, chunk_id)`` group after the
-repartition-by-term-hash shuffle — concatenates doc-range-disjoint
-partials, encodes delta+varbyte, computes per-block max-score metadata.
+``merge_groups_vectorized`` / ``make_merge_stream_fn``: after the
+repartition-by-(term, chunk) shuffle, sorted Arrow batches are merged in
+one vectorized pass per batch — a single group-major lexsort, a single
+varbyte encode per column (byte-split per group), and
+``np.{maximum,minimum}.reduceat`` block metadata.
 
 This pair is the Spark-native replacement for the reference's SPIMI block
 flush + two-stage k-way merge (``ingestion.py:63-171, 335-586, 941-981``):
@@ -23,11 +25,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from search_engine_spark.functions.codec import (
-    delta_encode_docs,
-    encode_positions,
-    vb_encode,
-)
 from search_engine_spark.functions.tokenizer import get_tokenizer
 
 
@@ -187,134 +184,6 @@ def make_partials_mapper(tokenizer_name: str, chunk_docs: int):
             yield extract_partials_batch(doc_ids, title_lists, body_lists, chunk_docs)
 
     return mapper
-
-
-def make_doclens_mapper(tokenizer_name: str):
-    """mapInPandas: documents(doc_id, title, body) -> (doc_id, doc_len, title_len)."""
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tok = get_tokenizer(tokenizer_name)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
-                    "doc_len": np.fromiter(
-                        (len(tok(t)) if t else 0 for t in pdf["body"]),
-                        dtype=np.int32,
-                        count=len(pdf),
-                    ),
-                    "title_len": np.fromiter(
-                        (len(tok(t)) if t else 0 for t in pdf["title"]),
-                        dtype=np.int32,
-                        count=len(pdf),
-                    ),
-                }
-            )
-
-    return mapper
-
-
-def _block_meta(
-    arr: np.ndarray, block_docs: int, reduce: str
-) -> np.ndarray:
-    """Per-block max/min over a posting-aligned array."""
-    n = arr.size
-    n_blocks = (n + block_docs - 1) // block_docs
-    pad = n_blocks * block_docs - n
-    if reduce == "max":
-        padded = np.pad(arr, (0, pad), constant_values=0)
-        return padded.reshape(n_blocks, block_docs).max(axis=1)
-    padded = np.pad(arr, (0, pad), constant_values=np.iinfo(np.int64).max)
-    return padded.reshape(n_blocks, block_docs).min(axis=1)
-
-
-def encode_posting_group(
-    docs: np.ndarray,
-    tfb: np.ndarray,
-    tft: np.ndarray,
-    pos_b: np.ndarray,
-    pos_t: np.ndarray,
-    dls: np.ndarray,
-    tls: np.ndarray,
-    block_docs: int,
-) -> dict:
-    """Encode one merged (term, chunk) posting group (docs already sorted)."""
-    n = docs.size
-    n_blocks = (n + block_docs - 1) // block_docs
-    blk_last = docs[np.minimum(np.arange(1, n_blocks + 1) * block_docs - 1, n - 1)]
-    return {
-        "df": int(n),
-        "doc_ids": delta_encode_docs(docs),
-        "tfs_body": vb_encode(tfb.astype(np.uint64)),
-        "tfs_title": vb_encode(tft.astype(np.uint64)),
-        "pos_body": encode_positions(pos_b, tfb),
-        "pos_title": encode_positions(pos_t, tft),
-        "blk_last_doc": delta_encode_docs(blk_last),
-        "blk_max_tfb": vb_encode(_block_meta(tfb, block_docs, "max").astype(np.uint64)),
-        "blk_max_tft": vb_encode(_block_meta(tft, block_docs, "max").astype(np.uint64)),
-        "blk_min_dl": vb_encode(_block_meta(dls, block_docs, "min").astype(np.uint64)),
-        "blk_min_tl": vb_encode(_block_meta(tls, block_docs, "min").astype(np.uint64)),
-    }
-
-
-def _merge_group(
-    term: str,
-    chunk_id: int,
-    doc_lists: list,
-    tfb_lists: list,
-    tft_lists: list,
-    pos_b_lists: list,
-    pos_t_lists: list,
-    dls_lists: list,
-    tls_lists: list,
-    block_docs: int,
-    n_buckets: int,
-) -> dict:
-    """Merge one (term, chunk) group's partial postings into one encoded
-    row.  Partials from different input partitions may interleave doc ids
-    within the chunk, so a stable sort re-orders them (with per-doc
-    position slices carried along)."""
-    from search_engine_spark.sources.index_store import term_bucket
-
-    docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in doc_lists])
-    tfb = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfb_lists])
-    tft = np.concatenate([np.asarray(x, dtype=np.int64) for x in tft_lists])
-    dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls_lists])
-    tls = np.concatenate([np.asarray(x, dtype=np.int64) for x in tls_lists])
-    pos_b_parts = [np.asarray(x, dtype=np.int64) for x in pos_b_lists]
-    pos_t_parts = [np.asarray(x, dtype=np.int64) for x in pos_t_lists]
-
-    order = np.argsort(docs, kind="stable")
-    if not np.array_equal(order, np.arange(docs.size)):
-        pos_b_all = _reorder_positions(pos_b_parts, tfb_lists, order)
-        pos_t_all = _reorder_positions(pos_t_parts, tft_lists, order)
-        docs, tfb, tft = docs[order], tfb[order], tft[order]
-        dls, tls = dls[order], tls[order]
-    else:
-        pos_b_all = (
-            np.concatenate(pos_b_parts) if pos_b_parts else np.empty(0, np.int64)
-        )
-        pos_t_all = (
-            np.concatenate(pos_t_parts) if pos_t_parts else np.empty(0, np.int64)
-        )
-
-    enc = encode_posting_group(
-        docs, tfb, tft, pos_b_all, pos_t_all, dls, tls, block_docs
-    )
-    return {
-        "term": term,
-        "chunk_id": chunk_id,
-        **enc,
-        "bucket": term_bucket(term, n_buckets),
-    }
-
-
-_PARTIAL_COLS = [
-    "doc_ids", "tfs_body", "tfs_title", "pos_body", "pos_title",
-    "doc_lens", "title_lens",
-]
 
 
 def _excl_cumsum(x: np.ndarray) -> np.ndarray:
@@ -555,14 +424,3 @@ def make_merge_stream_fn(block_docs: int, n_buckets: int):
             )
 
     return stream
-
-
-def _reorder_positions(parts: list[np.ndarray], tf_lists, order: np.ndarray) -> np.ndarray:
-    """Reorder concatenated per-doc position slices by the doc sort order."""
-    slices: list[np.ndarray] = []
-    for part, tfs in zip(parts, tf_lists):
-        offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-        np.cumsum(np.asarray(tfs, dtype=np.int64), out=offs[1:])
-        slices.extend(part[offs[i] : offs[i + 1]] for i in range(len(tfs)))
-    reordered = [slices[i] for i in order]
-    return np.concatenate(reordered) if reordered else np.empty(0, np.int64)

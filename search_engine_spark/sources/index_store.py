@@ -217,17 +217,31 @@ class IndexStore:
 
     def term_stats_for(self, tokens: list[str]) -> dict[str, int]:
         """df per token — partition-pruned lookup (bucket IN + term IN are
-        both pushed to the parquet scan)."""
+        both pushed to the parquet scan).  Results are memoized per store
+        instance (the index is immutable once opened), so repeated query
+        terms skip the lookup job entirely."""
         if not tokens:
             return {}
-        buckets = sorted({term_bucket(t, self.config.n_term_buckets) for t in tokens})
-        rows = (
-            self.read_term_stats()
-            .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(set(tokens))))
-            .select("term", "df")
-            .collect()
-        )
-        return {r.term: r.df for r in rows}
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        missing = sorted({t for t in tokens if t not in cache})
+        if missing:
+            buckets = sorted(
+                {term_bucket(t, self.config.n_term_buckets) for t in missing}
+            )
+            rows = (
+                self.read_term_stats()
+                .where(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
+            )
+            found = {r.term: r.df for r in rows}
+            for t in missing:
+                cache[t] = found.get(t, 0)
+        return {t: cache[t] for t in set(tokens) if cache[t] > 0}
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
