@@ -52,8 +52,13 @@ class SearchEngine:
         self.config = self.store.load_meta_into_config()
         self.stats = self.store.read_stats()
         self._tokenize = get_tokenizer(self.config.tokenizer)
-        # resolve committed batches once; re-open an engine to see new data
-        self._postings = self.store.read_postings().cache()
+        # resolve committed batches once; re-open an engine to see new data.
+        # postings are deliberately NOT cached: a blanket cache would turn
+        # every query into an InMemoryTableScan of the full table (no
+        # partition/bloom/column pruning) and at 10^12-file scale the table
+        # cannot be materialized; the parquet scan with pushed filters IS
+        # the fast path.  doclens (O(num_docs/chunk_docs) rows) are cached.
+        self._postings = self.store.read_postings()
         self._doclens = self.store.read_doclens().cache()
         self._corrector = None
 
