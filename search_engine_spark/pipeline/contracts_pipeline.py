@@ -229,6 +229,18 @@ FROM scored ORDER BY cos DESC, id LIMIT 10
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe cells; rows-only contract —
+    recall property-tested in tests/test_pipeline.py)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    top = similarity.ivf_topk(emb, qvec, k=10)
+    return top.select("id", F.round("cos", 6).alias("cos"))
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only contract; recall is property-tested in
     tests/test_pipeline.py against the exact baseline)."""
@@ -373,6 +385,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_lsh_topk, None),  # rows-only; recall pytest'd
+    "ann_ivf_topk": (q_ivf_topk, None),  # rows-only; recall pytest'd
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),

@@ -72,6 +72,91 @@ def lsh_bucket_col(emb_col, planes: np.ndarray):
     return bucket
 
 
+def kmeans_centroids(
+    vectors: np.ndarray, n_centroids: int, seed: int = 11, iters: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over a (sampled) vector matrix —
+    driver-side; the centroid table is tiny and broadcast into the
+    assignment expression."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(vectors.shape[0], size=min(n_centroids, vectors.shape[0]),
+                     replace=False)
+    cents = vectors[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = ((vectors[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(cents.shape[0]):
+            members = vectors[assign == c]
+            if members.size:
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign_col(emb_col, cents: np.ndarray):
+    """Nearest-centroid id as a JVM-side expression (no UDF): squared
+    distances to every centroid, argmin via array_position."""
+    ac = F.transform(emb_col, lambda v: v.cast("double"))
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    ac,
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            for c in cents
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means quantizer, probe the ``nprobe``
+    closest inverted lists, exact cosine re-score inside them.
+
+    Scale path: the table is written partitioned by ``ivf_cell`` so a
+    query's scan partition-prunes to nprobe cells (~nprobe/n_centroids of
+    the data); the quantizer is trained once on a driver-side sample
+    (reference counterpart: MiniBatchKMeans ANN pruning,
+    ``/root/reference/search_engine/quantization.py:7-37``,
+    ``inverted_index.py:1512-1519`` — rebuilt Spark-side, no sklearn).
+    """
+    sample = np.array(
+        [
+            [float(v) for v in r[emb_col]]
+            for r in emb.limit(sample_rows).collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = kmeans_centroids(sample, n_centroids, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1))
+    probe = [int(c) for c in order[:nprobe]]
+    with_cell = emb.withColumn("ivf_cell", ivf_assign_col(F.col(emb_col), cents))
+    return (
+        with_cell.where(F.col("ivf_cell").isin(probe))
+        .select(
+            F.col(id_col).alias("id"),
+            cosine_to_query(F.col(emb_col), query_vec).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -98,3 +98,31 @@ def test_multimodal_stub_paths(docs):
         binary, n_frames=2, deterministic_fake=True
     ).collect()
     assert len(frames) == 40
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    """IVF (k-means coarse quantizer + nprobe cells) must recover most of
+    the exact top-10; re-scored cosines are exact."""
+    hits = total = 0
+    for qid in range(5):
+        qvec = [
+            float(v)
+            for v in emb.where(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        exact_rows = similarity.cosine_topk(emb, qvec, k=10).collect()
+        exact = {r.id for r in exact_rows}
+        exact_cos = {r.id: r.cos for r in exact_rows}
+        approx = similarity.ivf_topk(emb, qvec, k=10).collect()
+        for r in approx:
+            if r.id in exact_cos:
+                assert r.cos == pytest.approx(exact_cos[r.id], rel=1e-12)
+        hits += len(exact & {r.id for r in approx})
+        total += len(exact)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_ivf_deterministic(emb):
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 1).head()["embedding"]]
+    a = similarity.ivf_topk(emb, qvec, k=5).collect()
+    b = similarity.ivf_topk(emb, qvec, k=5).collect()
+    assert [(r.id, r.cos) for r in a] == [(r.id, r.cos) for r in b]
