@@ -60,9 +60,14 @@ def fielded_bm25(
         z = np.empty(0, dtype=np.float64)
         return z, z.copy(), z.copy()
     w_body = term_weight(tf_body.astype(np.float64), doc_len[:, None], avg_doc_len, b)
-    w_title = term_weight(
-        tf_title.astype(np.float64), title_len[:, None], avg_title_len, b
-    )
+    if avg_title_len > 0.0:
+        w_title = term_weight(
+            tf_title.astype(np.float64), title_len[:, None], avg_title_len, b
+        )
+    else:
+        # all-empty-title corpus: avg=0 would NaN every score via 0/0;
+        # title tf is necessarily 0 everywhere, so the weight is exactly 0
+        w_title = np.zeros_like(w_body)
     w_comb = w_body + title_weight * w_title
 
     def _sum_in_order(weights: np.ndarray) -> np.ndarray:

@@ -30,6 +30,17 @@ from search_engine_spark.query.kernels import RESULT_SCHEMA, make_query_kernel
 from search_engine_spark.query.plan import CompiledQuery, EMPTY, compile_query
 from search_engine_spark.sources.index_store import IndexStore, term_bucket
 
+def _per_qid_limit(n_return: dict[int, int]):
+    """Rank-limit expression honouring each query's own ``num_return`` in a
+    heterogeneous batch (a single global max would hand small-k queries the
+    large-k row count).  Uniform batches stay a plain literal."""
+    ns = set(n_return.values())
+    if len(ns) == 1:
+        return F.lit(ns.pop())
+    pairs = [F.lit(x) for q, n in n_return.items() for x in (q, n)]
+    return F.element_at(F.create_map(*pairs), F.col("qid"))
+
+
 _BASE_COLS = ["term", "chunk_id", "df", "doc_ids", "tfs_body", "tfs_title"]
 _POS_COLS = ["pos_body", "pos_title"]
 _BLK_COLS = [
@@ -187,8 +198,7 @@ class SearchEngine:
             )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = per_chunk.withColumn("rank", F.row_number().over(w))
-        max_n = max(n_return.values())
-        return ranked.where(F.col("rank") <= F.lit(max_n))
+        return ranked.where(F.col("rank") <= _per_qid_limit(n_return))
 
     def search(
         self,
@@ -212,8 +222,12 @@ class SearchEngine:
         # one stats lookup for all queries' tokens
         all_tokens: list[str] = []
         tokenized = []
-        for q, _m in queries:
+        for q, mode in queries:
             toks = self._tokenize(q)
+            if self.config.enable_spelling:
+                # same OOV-correction funnel as search()/compile() — the two
+                # entry points must agree on the final token stream
+                toks = self._correct_tokens(toks, mode)
             tokenized.append(toks)
             all_tokens.extend(toks)
         dfs = self.store.term_stats_for(all_tokens)

@@ -241,6 +241,11 @@ def compile_query(
         needs_positions=_has_tag(tree, (PHRASE,)),
         scan_all_chunks=_has_tag(tree, (NOT, ALL)),
         wand_eligible=wand_ok,
-        num_candidates=num_candidates or cfg.num_candidates,
+        # a candidate pool smaller than num_return would silently truncate
+        # the global top-k (each chunk kernel and the WAND pool cap at
+        # num_candidates) — clamp so num_candidates >= num_return always
+        num_candidates=max(
+            num_candidates or cfg.num_candidates, num_return or cfg.num_return
+        ),
         num_return=num_return or cfg.num_return,
     )

@@ -64,7 +64,10 @@ def _block_ubs(
     if idf <= 0.0:
         return np.zeros(tc.blk_last.size, dtype=np.float64)
     wb = tc.blk_max_tfb / (1.0 - b + b * (tc.blk_min_dl / avg_dl))
-    wt = tc.blk_max_tft / (1.0 - b + b * (tc.blk_min_tl / avg_tl))
+    if avg_tl > 0.0:
+        wt = tc.blk_max_tft / (1.0 - b + b * (tc.blk_min_tl / avg_tl))
+    else:  # all-empty-title corpus: title tf is 0 everywhere (see bm25.py)
+        wt = np.zeros_like(wb)
     w = wb + title_weight * wt
     return idf * (w * (k1 + 1.0)) / (w + k1)
 

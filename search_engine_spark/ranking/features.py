@@ -120,7 +120,11 @@ def make_features_kernel(
     plan_by_qid = {p.qid: p for p in plans}
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
+        # left may legitimately be empty: a NOT/scan-all plan's candidates
+        # can live in chunks with no postings for the fetch terms — those
+        # docs still get scored (zero tf, sentinel 1.0 first-occurrence,
+        # real length features).  Only a missing doclens side is a no-op.
+        if len(right) == 0:
             return _empty()
         chunk = decode_doclens_row(next(right.itertuples(index=False)))
         lo, hi = chunk.doc_ids[0], chunk.doc_ids[-1]

@@ -192,17 +192,24 @@ class IndexStore:
                 vb_decode,
             )
 
+            import numpy as np
+
             for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, dls, tls = [], [], []
                 for row in pdf.itertuples(index=False):
-                    yield pd.DataFrame(
-                        {
-                            "doc_id": delta_decode_docs(row.doc_ids),
-                            "doc_len": vb_decode(row.doc_lens).astype("int32"),
-                            "title_len": vb_decode(row.title_lens).astype(
-                                "int32"
-                            ),
-                        }
-                    )
+                    ids.append(delta_decode_docs(row.doc_ids))
+                    dls.append(vb_decode(row.doc_lens))
+                    tls.append(vb_decode(row.title_lens))
+                # one frame per Arrow batch, not per chunk row
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "doc_len": np.concatenate(dls).astype("int32"),
+                        "title_len": np.concatenate(tls).astype("int32"),
+                    }
+                )
 
         return self.read_doclens().mapInPandas(
             decode, "doc_id long, doc_len int, title_len int"

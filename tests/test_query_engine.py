@@ -114,6 +114,44 @@ def test_wand_equals_exhaustive_random_or(setup):
         _assert_rank_identical(by_qid.get(qid, []), ref_top, (query, mode))
 
 
+def test_mixed_num_return_batch(setup):
+    """A batch mixing num_return=3 and num_return=15 must honour each
+    query's own k (regression: the filter used the global max for all)."""
+    engine, oracle = setup
+    plans = [
+        engine.compile("zqmerge zqshard", SearchMode.OR, qid=0, num_return=3),
+        engine.compile("parse_1 codec_2 merge_3", SearchMode.OR, qid=1,
+                       num_return=15),
+    ]
+    rows = engine.execute(plans).collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append(r)
+    _n, ref0 = oracle.search_text("zqmerge zqshard", SearchMode.OR,
+                                  num_return=3)
+    _n, ref1 = oracle.search_text("parse_1 codec_2 merge_3", SearchMode.OR,
+                                  num_return=15)
+    assert len(by_qid[0]) == len(ref0) <= 3
+    assert len(by_qid[1]) == len(ref1) > 3
+    _assert_rank_identical(by_qid[0], ref0, "k=3")
+    _assert_rank_identical(by_qid[1], ref1, "k=15")
+
+
+def test_num_return_above_default_candidates(setup):
+    """num_return > num_candidates must widen the candidate pool, not
+    silently truncate the top-k at num_candidates (ADVICE plan.py:244)."""
+    engine, oracle = setup
+    plan = engine.compile("def zqmerge zqshard", SearchMode.OR,
+                          num_candidates=5, num_return=120)
+    assert plan.num_candidates >= 120
+    got = engine.execute([plan]).collect()
+    _n, ref = oracle.search_text(
+        "def zqmerge zqshard", SearchMode.OR,
+        num_candidates=120, num_return=120,
+    )
+    _assert_rank_identical(got, ref, "k=120 widened pool")
+
+
 def test_doc_info_join(setup):
     engine, _oracle = setup
     ranked = engine.search("zqmerge", SearchMode.AND)

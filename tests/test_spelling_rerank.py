@@ -100,6 +100,73 @@ def test_rerank_permutes_candidates(setup):
     )
 
 
+def test_batch_spelling_matches_single(setup):
+    """search_batch must run the same OOV-correction funnel as search() —
+    the two entry points return identical results for a typo query."""
+    engine, _oracle = setup
+    single = engine.search("zqmrge", SearchMode.AND).collect()
+    batch = engine.search_batch([("zqmrge", SearchMode.AND)]).collect()
+    key = lambda r: r.rank
+    assert [(r.doc_id, r.score) for r in sorted(batch, key=key)] == [
+        (r.doc_id, r.score) for r in sorted(single, key=key)
+    ]
+
+
+def test_rerank_scores_candidates_outside_posting_chunks(setup):
+    """Candidates living in a chunk with no postings rows for the fetch
+    terms (NOT/scan-all plans) must still be scored with zero-tf sentinel
+    features, not silently dropped (ADVICE features.py:123) — exercised by
+    invoking the kernel directly with an empty postings side."""
+    import numpy as np
+
+    from search_engine_spark.ranking.features import make_features_kernel
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    plan = engine.compile("NOT zqmerge", SearchMode.QUERY_EVALUATOR,
+                          num_return=10)
+    chunk_row = engine._doclens.orderBy("chunk_id").limit(1)
+    right = chunk_row.toPandas()
+    left = (
+        engine._postings.where(F.lit(False))
+        .select("term", "chunk_id", "df", "doc_ids", "tfs_body",
+                "tfs_title", "pos_body", "pos_title")
+        .toPandas()
+    )
+    cand = np.arange(3, dtype=np.int64)  # docs 0..2 live in chunk 0
+    kernel = make_features_kernel(
+        [plan], {plan.qid: cand}, RankingModel.seeded().w,
+        {
+            "num_docs": int(engine.stats["num_docs"]),
+            "avg_doc_len": float(engine.stats["avg_doc_len"]),
+            "avg_title_len": float(engine.stats["avg_title_len"]),
+            "max_doc_len": int(engine.stats["max_doc_len"]),
+            "max_title_len": int(engine.stats["max_title_len"]),
+        },
+        1.6, 0.75, 2.0,
+    )
+    out = kernel(left, right)
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2]
+    assert np.isfinite(out["mlp_score"].to_numpy()).all()
+
+
+def test_bm25_all_empty_titles_guard():
+    """avg_title_len == 0 (all-empty-title corpus) must not NaN scores."""
+    from search_engine_spark.functions.bm25 import fielded_bm25
+
+    idfs = np.array([1.0, 2.0])
+    tfb = np.array([[1, 2], [0, 3]], dtype=np.int64)
+    tft = np.zeros_like(tfb)
+    dl = np.array([10.0, 20.0])
+    tl = np.zeros(2)
+    score, body, title = fielded_bm25(
+        idfs, tfb, tft, dl, tl, avg_doc_len=15.0, avg_title_len=0.0
+    )
+    assert np.isfinite(score).all()
+    assert np.allclose(title, 0.0)
+    assert np.allclose(score, body)
+
+
 def test_feature_values_match_reference_semantics(setup):
     """Spot-check the 10 features for one candidate against a direct
     oracle-side computation (first-occurrence / length normalizations,
