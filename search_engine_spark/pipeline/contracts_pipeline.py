@@ -229,28 +229,174 @@ FROM scored ORDER BY cos DESC, id LIMIT 10
 """
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, nprobe cells; rows-only contract —
-    recall property-tested in tests/test_pipeline.py)."""
+_ANN_CACHE: dict[tuple[str, str], object] = {}
+# bump when the materialized ANN layout changes (stale /tmp reuse guard)
+_ANN_LAYOUT_V = "v1"
+# the driver runs the SQL oracles at this fixed sf; the ANN oracle SQL
+# inlines plane/centroid/probe constants derived from this table
+CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
+    """Build-or-open the materialized ANN index for an sf dir (cached —
+    build once, query many; the topk scan partition-prunes)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), kind)
+    if key in _ANN_CACHE:
+        return _ANN_CACHE[key]
+    cls = similarity.LshIndex if kind == "lsh" else similarity.IvfIndex
+    tag = hashlib.sha256(
+        f"{key[0]}|{kind}|{_ANN_LAYOUT_V}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"se_ann_{tag}")
+    if os.path.exists(os.path.join(path, "ann_meta.json")):
+        idx = cls.open(spark, path)
+    else:
+        idx = cls.build(_emb(spark, sf_dir), path)
+    _ANN_CACHE[key] = idx
+    return idx
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = _emb(spark, sf_dir)
-    qvec = [
-        float(v)
-        for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return [
+        float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
     ]
-    top = similarity.ivf_topk(emb, qvec, k=10)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the materialized index (partition-pruned nprobe-cell
+    scan, exact cosine re-score)."""
+    idx = _ann_index(spark, sf_dir, "ivf")
+    top = idx.topk(_query_vec(spark, sf_dir), k=10)
     return top.select("id", F.round("cos", 6).alias("cos"))
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only contract; recall is property-tested in
-    tests/test_pipeline.py against the exact baseline)."""
-    emb = _emb(spark, sf_dir)
-    qvec = [
-        float(v)
-        for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
-    ]
-    top = similarity.lsh_topk(emb, qvec, k=10)
+    """LSH ANN over the materialized index (partition-pruned probed-bucket
+    scan, exact cosine re-score)."""
+    idx = _ann_index(spark, sf_dir, "lsh")
+    top = idx.topk(_query_vec(spark, sf_dir), k=10)
     return top.select("id", F.round("cos", 6).alias("cos"))
+
+
+# --- ANN oracle SQL: full hash-checked twins.  The quantizer constants
+# (hyperplanes / k-means centroids) and the driver-side probe sets are
+# deterministic functions of the sf0.01 embeddings table + fixed seeds, so
+# they are computed here in numpy and inlined as SQL literals; the SQL then
+# replicates the row-side bucket/cell assignment (same left-to-right float
+# accumulation as Spark's F.aggregate) and the exact cosine re-score.
+
+def _lit_list(vec) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+def _load_oracle_embeddings(sf_dir: str) -> "object":
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return embs[np.argsort(ids)]
+
+
+def _seq_dot_sql(vec_expr: str, const_col: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(len({vec_expr})), "
+        f"i -> {vec_expr}[i + 1]::DOUBLE * {const_col}[i + 1]), "
+        f"(a, x) -> a + x)"
+    )
+
+
+def _cos_sql(qvec: list[float]) -> str:
+    """Cosine vs an inlined query vector — mirrors
+    ``similarity.cosine_to_query`` (query norm folded to a Python double)."""
+    import numpy as np
+
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return (
+        f"{_seq_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt(list_reduce(list_transform(e.embedding,"
+        f" x -> x::DOUBLE * x::DOUBLE), (a, x) -> a + x)) * {qn!r})"
+    )
+
+
+def _sql_ann_lsh(sf_dir: str = CORRECTNESS_SF_DIR) -> str | None:
+    try:
+        embs = _load_oracle_embeddings(sf_dir)
+    except Exception:  # embeddings table absent: fall back to rows-only
+        return None
+    planes = similarity.hyperplanes(embs.shape[1], n_planes=4, seed=11)
+    qvec = [float(v) for v in embs[0]]
+    probe = similarity.lsh_probe_buckets(planes, qvec, probe_hamming=1)
+    plane_cols = ", ".join(
+        f"{_lit_list(p)} AS p{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {_seq_dot_sql('e.embedding', f'pl.p{i}')} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(planes.shape[0])
+    )
+    return f"""
+WITH pl AS (SELECT {plane_cols}),
+q AS (SELECT {_lit_list(qvec)} AS qv),
+b AS (
+  SELECT e.vec_id AS id, e.embedding, ({bucket}) AS bucket
+  FROM embeddings e, pl
+),
+scored AS (
+  SELECT e.id, {_cos_sql(qvec)} AS cos
+  FROM b e, q
+  WHERE e.bucket IN ({', '.join(str(x) for x in probe)})
+)
+SELECT id, round(cos, 6)::DOUBLE AS cos
+FROM scored ORDER BY cos DESC, id LIMIT 10
+"""
+
+
+def _sql_ann_ivf(sf_dir: str = CORRECTNESS_SF_DIR) -> str | None:
+    try:
+        embs = _load_oracle_embeddings(sf_dir)
+    except Exception:
+        return None
+    import numpy as np
+
+    cents = similarity.kmeans_centroids(embs[:4096], n_centroids=16, seed=11)
+    qvec = [float(v) for v in embs[0]]
+    qv = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1))
+    probe = [int(c) for c in order[:4]]
+    cent_cols = ", ".join(
+        f"{_lit_list(c)} AS c{i}" for i, c in enumerate(cents)
+    )
+    dists = ", ".join(
+        f"list_reduce(list_transform(range(len(e.embedding)), "
+        f"i -> (e.embedding[i + 1]::DOUBLE - ct.c{c}[i + 1])"
+        f" * (e.embedding[i + 1]::DOUBLE - ct.c{c}[i + 1])), "
+        f"(a, x) -> a + x)"
+        for c in range(cents.shape[0])
+    )
+    return f"""
+WITH ct AS (SELECT {cent_cols}),
+q AS (SELECT {_lit_list(qvec)} AS qv),
+cells AS (
+  SELECT sub.vec_id AS id, sub.embedding,
+         (list_position(sub.dl, list_min(sub.dl)) - 1) AS ivf_cell
+  FROM (SELECT e.vec_id, e.embedding, [{dists}] AS dl
+        FROM embeddings e, ct) AS sub
+),
+scored AS (
+  SELECT e.id, {_cos_sql(qvec)} AS cos
+  FROM cells e, q
+  WHERE e.ivf_cell IN ({', '.join(str(x) for x in probe)})
+)
+SELECT id, round(cos, 6)::DOUBLE AS cos
+FROM scored ORDER BY cos DESC, id LIMIT 10
+"""
 
 
 # ------------------------------------------------------------ text stats
@@ -384,8 +530,11 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_lsh_topk, None),  # rows-only; recall pytest'd
-    "ann_ivf_topk": (q_ivf_topk, None),  # rows-only; recall pytest'd
+    # full hash-checked oracles (quantizer constants + probe sets inlined
+    # from the fixed correctness sf dir); fall back to rows-only (None) if
+    # that table is unreadable at import time
+    "ann_lsh_topk": (q_lsh_topk, _sql_ann_lsh()),
+    "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf()),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),

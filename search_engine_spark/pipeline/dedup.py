@@ -10,9 +10,12 @@ in DuckDB's BIGINT.
 Scale notes (100 TB design):
 * signatures/bands are one narrow projection pass (no shuffle);
 * candidate pairs come from a shuffle on the band key — band buckets are
-  the unit of work, so skewed buckets (boilerplate text) are capped via
-  ``spark.sql.adaptive`` skew splitting plus the band-hash salt inherent
-  to banding;
+  the unit of work.  Degenerate buckets (web boilerplate: empty files,
+  license headers) are **dropped** above ``max_bucket_size`` before the
+  self-join: AQE skew-splitting rebalances tasks but cannot shrink the
+  O(b^2) join *output*, and the identical-content mass such buckets hold
+  is already captured by ``exact_dup_groups``
+  (``oversize_band_buckets`` reports what was dropped);
 * verification joins are semi-joins on (id1, id2) candidate keys only —
   never an O(n^2) cross join.
 """
@@ -20,7 +23,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_P = 4294967311  # prime > 2^32
@@ -93,15 +96,30 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+def _cap_buckets(
+    banded: DataFrame, max_bucket_size: int | None
 ) -> DataFrame:
-    """MinHash-LSH banding -> candidate (id1 < id2) pairs.
+    """Drop band buckets larger than ``max_bucket_size`` before the
+    per-bucket self-join.
 
-    Explodes each signature into ``bands`` (band_idx, band_key) rows, then
-    self-joins per bucket — the shuffle key is (band_idx, band_key).
-    """
-    banded = sigs.select(
+    A b-row bucket emits O(b^2) candidate pairs; on web-scale boilerplate
+    (empty files, license headers) a single bucket can hold 10^7 docs →
+    10^14 pair rows, which no amount of AQE skew-splitting can shrink
+    (the join *output* is the problem).  The identical-content mass a
+    dropped bucket represents is already caught by ``exact_dup_groups``;
+    use :func:`oversize_band_buckets` to report what was dropped."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band_idx", "band_key")
+    return (
+        banded.withColumn("_n", F.count("*").over(w))
+        .where(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+
+
+def _banded_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    return sigs.select(
         "id",
         F.posexplode(
             F.array(
@@ -117,6 +135,42 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band_idx", "band_key"),
+    )
+
+
+def oversize_band_buckets(
+    sigs: DataFrame,
+    max_bucket_size: int,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Buckets that :func:`lsh_candidate_pairs` will drop under the given
+    cap -> (band_idx, band_key, n_docs) — the skew/coverage report a
+    100 TB run should log alongside the dedup output."""
+    return (
+        _banded_sigs(sigs, bands, rows_per_band)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """MinHash-LSH banding -> candidate (id1 < id2) pairs.
+
+    Explodes each signature into ``bands`` (band_idx, band_key) rows, then
+    self-joins per bucket — the shuffle key is (band_idx, band_key).
+    Buckets over ``max_bucket_size`` rows are dropped first (see
+    :func:`_cap_buckets`; the size count reuses the join's own shuffle
+    partitioning, so the cap costs no extra exchange).
+    """
+    banded = _cap_buckets(
+        _banded_sigs(sigs, bands, rows_per_band), max_bucket_size
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -168,10 +222,13 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     seed: int = 7,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline -> verified (id1, id2, jaccard)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
-    cands = lsh_candidate_pairs(sigs, bands, n_hashes // bands)
+    cands = lsh_candidate_pairs(
+        sigs, bands, n_hashes // bands, max_bucket_size
+    )
     return jaccard_pairs(df, cands, id_col, text_col, shingle_k).where(
         F.col("jaccard") >= threshold
     )
@@ -219,23 +276,31 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 3, band_bits: int = 8
+    sims: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Candidate pairs via 8-bit band blocking, verified by popcount of XOR."""
+    """Candidate pairs via 8-bit band blocking, verified by popcount of XOR.
+    Band buckets over ``max_bucket_size`` are dropped (see
+    :func:`_cap_buckets` for why a cap, not skew-splitting)."""
     n_bands = 32 // band_bits
-    banded = sims.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
-                        F.lit((1 << band_bits) - 1)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
+    banded = _cap_buckets(
+        sims.select(
+            "id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(
+                            F.col("simhash"), b * band_bits
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1))
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_idx", "band_key"),
+        ),
+        max_bucket_size,
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

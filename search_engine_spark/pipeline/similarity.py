@@ -12,8 +12,11 @@ at 10^12 rows the bucket column is the partition key, so a query touches
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -113,73 +116,33 @@ def ivf_assign_col(emb_col, cents: np.ndarray):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def ivf_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    seed: int = 11,
-    sample_rows: int = 4096,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style ANN: coarse k-means quantizer, probe the ``nprobe``
-    closest inverted lists, exact cosine re-score inside them.
-
-    Scale path: the table is written partitioned by ``ivf_cell`` so a
-    query's scan partition-prunes to nprobe cells (~nprobe/n_centroids of
-    the data); the quantizer is trained once on a driver-side sample
-    (reference counterpart: MiniBatchKMeans ANN pruning,
-    ``/root/reference/search_engine/quantization.py:7-37``,
-    ``inverted_index.py:1512-1519`` — rebuilt Spark-side, no sklearn).
-    """
-    sample = np.array(
-        [
-            [float(v) for v in r[emb_col]]
-            for r in emb.limit(sample_rows).collect()
-        ],
-        dtype=np.float64,
-    )
-    cents = kmeans_centroids(sample, n_centroids, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1))
-    probe = [int(c) for c in order[:nprobe]]
-    with_cell = emb.withColumn("ivf_cell", ivf_assign_col(F.col(emb_col), cents))
-    return (
-        with_cell.where(F.col("ivf_cell").isin(probe))
-        .select(
-            F.col(id_col).alias("id"),
-            cosine_to_query(F.col(emb_col), query_vec).alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("id"))
-        .limit(k)
-    )
+def seq_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Strict left-to-right float64 accumulation — the summation order both
+    engines use for the row-side bucket expressions (Spark ``F.aggregate``,
+    DuckDB ``list_reduce``).  Driver-side sign decisions must use the same
+    order so a query vector that is also a table row lands in its own
+    bucket."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
 
-def lsh_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 4,
-    seed: int = 11,
-    probe_hamming: int = 1,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: candidates from the query's LSH bucket (plus
-    buckets within ``probe_hamming`` bit flips), exact cosine re-score.
-
-    At scale the table is written partitioned by ``bucket``; the IN filter
-    below partition-prunes the scan to the probed buckets.
-    """
-    dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes, seed)
+def lsh_query_bits(planes: np.ndarray, query_vec: list[float]) -> int:
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = 0
     for i, p in enumerate(planes):
-        if float(np.dot(p, qv)) > 0:
+        if seq_dot(p, qv) > 0:
             qbits |= 1 << i
+    return qbits
+
+
+def lsh_probe_buckets(
+    planes: np.ndarray, query_vec: list[float], probe_hamming: int = 1
+) -> list[int]:
+    """Query bucket plus all buckets within ``probe_hamming`` bit flips."""
+    n_planes = planes.shape[0]
+    qbits = lsh_query_bits(planes, query_vec)
     probe = {qbits}
     if probe_hamming >= 1:
         probe.update(qbits ^ (1 << i) for i in range(n_planes))
@@ -189,15 +152,198 @@ def lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         )
-    with_bucket = emb.withColumn(
-        "bucket", lsh_bucket_col(F.col(emb_col), planes)
-    )
+    return sorted(probe)
+
+
+def _rescored_topk(
+    table: DataFrame, query_vec: list[float], k: int, id_col: str,
+    emb_col: str,
+) -> DataFrame:
     return (
-        with_bucket.where(F.col("bucket").isin(sorted(probe)))
-        .select(
+        table.select(
             F.col(id_col).alias("id"),
             cosine_to_query(F.col(emb_col), query_vec).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("id"))
         .limit(k)
     )
+
+
+class LshIndex:
+    """Materialized random-hyperplane LSH ANN index.
+
+    ``build`` writes the embedding table **partitioned by sign-bucket** and
+    persists the hyperplanes beside it; ``topk`` reads back with a
+    ``bucket IN (probe)`` filter that prunes the scan to the probed
+    partitions — at 10^12 rows a query touches ~(1+n_planes)/2^n_planes of
+    the data, no full-table bucket recomputation (the round-1 version
+    computed buckets per query, which re-scanned everything).
+
+    Reference counterpart: ANN candidate pruning ahead of exact re-scoring
+    (``/root/reference/search_engine/inverted_index.py:1512-1519``) —
+    rebuilt as a partition-pruned parquet layout instead of an in-memory
+    mask.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.planes = np.asarray(meta["planes"], dtype=np.float64)
+        self.id_col = meta["id_col"]
+        self.emb_col = meta["emb_col"]
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        path: str,
+        n_planes: int = 4,
+        seed: int = 11,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> "LshIndex":
+        spark = emb.sparkSession
+        dim = int(emb.select(F.size(emb_col)).head()[0])
+        planes = hyperplanes(dim, n_planes, seed)
+        (
+            emb.withColumn("bucket", lsh_bucket_col(F.col(emb_col), planes))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "table"))
+        )
+        meta = {
+            "kind": "lsh",
+            "dim": dim,
+            "n_planes": n_planes,
+            "seed": seed,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "planes": [[float(v) for v in p] for p in planes],
+        }
+        with open(os.path.join(path, "ann_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "LshIndex":
+        with open(os.path.join(path, "ann_meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("kind") != "lsh":  # pragma: no cover
+            raise ValueError(f"{path} is not an LSH index")
+        return cls(spark, path, meta)
+
+    def table(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "table"))
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, probe_hamming: int = 1
+    ) -> DataFrame:
+        probe = lsh_probe_buckets(self.planes, query_vec, probe_hamming)
+        pruned = self.table().where(F.col("bucket").isin(probe))
+        return _rescored_topk(pruned, query_vec, k, self.id_col, self.emb_col)
+
+
+class IvfIndex:
+    """Materialized IVF ANN index: coarse k-means quantizer trained ONCE at
+    build time on a deterministic sample (first ``sample_rows`` ids —
+    ``orderBy(id)`` so the sample, hence the centroids, hence the results,
+    are stable across partitionings), table written partitioned by
+    ``ivf_cell``, centroids persisted beside it.  ``topk`` probes the
+    ``nprobe`` closest cells with a partition-pruned scan and re-scores
+    exactly (reference counterpart: MiniBatchKMeans ANN pruning,
+    ``/root/reference/quantization.py:7-37``,
+    ``inverted_index.py:1512-1519`` — no sklearn, no per-query retraining).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.id_col = meta["id_col"]
+        self.emb_col = meta["emb_col"]
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        path: str,
+        n_centroids: int = 16,
+        seed: int = 11,
+        sample_rows: int = 4096,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> "IvfIndex":
+        spark = emb.sparkSession
+        sample = np.array(
+            [
+                [float(v) for v in r[emb_col]]
+                for r in emb.orderBy(id_col).limit(sample_rows).collect()
+            ],
+            dtype=np.float64,
+        )
+        cents = kmeans_centroids(sample, n_centroids, seed)
+        (
+            emb.withColumn("ivf_cell", ivf_assign_col(F.col(emb_col), cents))
+            .write.mode("overwrite")
+            .partitionBy("ivf_cell")
+            .parquet(os.path.join(path, "table"))
+        )
+        meta = {
+            "kind": "ivf",
+            "n_centroids": int(cents.shape[0]),
+            "seed": seed,
+            "sample_rows": sample_rows,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "centroids": [[float(v) for v in c] for c in cents],
+        }
+        with open(os.path.join(path, "ann_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IvfIndex":
+        with open(os.path.join(path, "ann_meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("kind") != "ivf":  # pragma: no cover
+            raise ValueError(f"{path} is not an IVF index")
+        return cls(spark, path, meta)
+
+    def table(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "table"))
+
+    def probe_cells(self, query_vec: list[float], nprobe: int = 4) -> list[int]:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        order = np.argsort(((self.centroids - qv[None, :]) ** 2).sum(axis=1))
+        return [int(c) for c in order[:nprobe]]
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        probe = self.probe_cells(query_vec, nprobe)
+        pruned = self.table().where(F.col("ivf_cell").isin(probe))
+        return _rescored_topk(pruned, query_vec, k, self.id_col, self.emb_col)
+
+
+def lsh_topk(
+    index: LshIndex,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a **materialized** LSH index (partition-pruned
+    scan of the probed buckets, exact cosine re-score)."""
+    return index.topk(query_vec, k, probe_hamming)
+
+
+def ivf_topk(
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k over a **materialized** IVF index (partition-pruned
+    scan of the probed cells, exact cosine re-score)."""
+    return index.topk(query_vec, k, nprobe)

@@ -62,6 +62,17 @@ def _pairs():
 
     q = e.queries()
     o = e.oracle_sql()
+    # the shipped ANN oracle SQL inlines quantizer/probe constants for the
+    # driver's fixed correctness dir (sf0.01); regenerate for this test's
+    # sf so the same generator is exercised against local data
+    from search_engine_spark.pipeline import contracts_pipeline as cp
+
+    for name, gen in (
+        ("ann_lsh_topk", cp._sql_ann_lsh),
+        ("ann_ivf_topk", cp._sql_ann_ivf),
+    ):
+        if name in o:
+            o[name] = gen(SF_DIR)
     return [(name, q[name], o.get(name)) for name in sorted(q)]
 
 

@@ -22,7 +22,19 @@ def emb(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
 
 
-def test_lsh_recall_vs_bruteforce(emb):
+@pytest.fixture(scope="module")
+def lsh_index(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annlsh"))
+    return similarity.LshIndex.build(emb, path)
+
+
+@pytest.fixture(scope="module")
+def ivf_index(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annivf"))
+    return similarity.IvfIndex.build(emb, path)
+
+
+def test_lsh_recall_vs_bruteforce(emb, lsh_index):
     """LSH-bucketed ANN must recover most of the exact top-10 (recall@10
     >= 0.5 averaged over probe queries with Hamming-1 probing)."""
     hits = total = 0
@@ -35,14 +47,14 @@ def test_lsh_recall_vs_bruteforce(emb):
             r.id for r in similarity.cosine_topk(emb, qvec, k=10).collect()
         }
         approx = {
-            r.id for r in similarity.lsh_topk(emb, qvec, k=10).collect()
+            r.id for r in similarity.lsh_topk(lsh_index, qvec, k=10).collect()
         }
         hits += len(exact & approx)
         total += len(exact)
     assert hits / total >= 0.5, f"recall {hits}/{total}"
 
 
-def test_lsh_is_subset_of_bucket_scored_exactly(emb):
+def test_lsh_is_subset_of_bucket_scored_exactly(emb, lsh_index):
     """Every LSH result's cosine equals the exact cosine (re-scoring is
     exact; only the candidate set is approximate)."""
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 3).head()["embedding"]]
@@ -50,8 +62,42 @@ def test_lsh_is_subset_of_bucket_scored_exactly(emb):
         r.id: r.cos
         for r in similarity.cosine_topk(emb, qvec, k=500).collect()
     }
-    for r in similarity.lsh_topk(emb, qvec, k=10).collect():
+    for r in similarity.lsh_topk(lsh_index, qvec, k=10).collect():
         assert r.cos == pytest.approx(exact[r.id], rel=1e-12)
+
+
+def _partition_filter_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_scan_is_partition_pruned(emb, lsh_index):
+    """The materialized LSH topk must read ONLY the probed bucket
+    partitions — PartitionFilters on `bucket`, not a full scan with a
+    post-filter (the round-1 per-query bucket computation scanned
+    everything)."""
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    probe = similarity.lsh_probe_buckets(lsh_index.planes, qvec, 1)
+    plan = _partition_filter_plan(lsh_index.topk(qvec, k=10))
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan
+    # the pruned scan must mention the probed bucket values
+    assert any(str(b) in plan for b in probe)
+
+
+def test_ivf_scan_is_partition_pruned(emb, ivf_index):
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 2).head()["embedding"]]
+    plan = _partition_filter_plan(ivf_index.topk(qvec, k=10))
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan
+
+
+def test_lsh_index_reopen_identical(spark, emb, lsh_index):
+    """open() must reproduce build()'s results exactly (planes persisted)."""
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 4).head()["embedding"]]
+    reopened = similarity.LshIndex.open(spark, lsh_index.path)
+    a = [(r.id, r.cos) for r in lsh_index.topk(qvec, k=10).collect()]
+    b = [(r.id, r.cos) for r in reopened.topk(qvec, k=10).collect()]
+    assert a == b
 
 
 def test_minhash_finds_planted_neardups(spark, docs):
@@ -84,6 +130,33 @@ def test_simhash_on_planted_dups(spark, docs):
     assert {(i, i + 20_000) for i in range(5)} <= found
 
 
+def test_lsh_band_bucket_cap_bounds_planted_skew(spark, docs):
+    """Plant a degenerate bucket (300 identical docs -> every band
+    collides) and cap buckets at 50: the pair count must stay bounded by
+    the organic near-dups, the oversize report must name the dropped
+    buckets, and the identical mass must still be caught by exact dedup."""
+    base = docs.limit(30)
+    boiler = (
+        spark.range(300)
+        .select(
+            (F.col("id") + 500_000).alias("doc_id"),
+            F.lit("license header boilerplate " * 8).alias("text"),
+        )
+    )
+    both = base.select("doc_id", "text").unionByName(boiler)
+    sigs = dedup.minhash_signatures(both, "doc_id", "text")
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=50).collect()
+    # 300 identical docs alone would emit 300*299/2 = 44,850 pairs
+    assert len(capped) < 1000
+    assert not any(r.id1 >= 500_000 and r.id2 >= 500_000 for r in capped)
+    report = dedup.oversize_band_buckets(sigs, max_bucket_size=50).collect()
+    assert len(report) >= 4  # all 4 bands of the boilerplate bucket
+    assert all(r.n_docs == 300 for r in report)
+    # the dropped mass is exactly what exact-dup grouping catches
+    groups = dedup.exact_dup_groups(both, "doc_id", "text").collect()
+    assert any(g.n_docs == 300 for g in groups)
+
+
 def test_multimodal_stub_paths(docs):
     binary = multimodal.attach_binary(docs.limit(20), "doc_id", "text")
     feats = multimodal.decode_features(binary).collect()
@@ -100,7 +173,7 @@ def test_multimodal_stub_paths(docs):
     assert len(frames) == 40
 
 
-def test_ivf_recall_vs_bruteforce(emb):
+def test_ivf_recall_vs_bruteforce(emb, ivf_index):
     """IVF (k-means coarse quantizer + nprobe cells) must recover most of
     the exact top-10; re-scored cosines are exact."""
     hits = total = 0
@@ -112,7 +185,7 @@ def test_ivf_recall_vs_bruteforce(emb):
         exact_rows = similarity.cosine_topk(emb, qvec, k=10).collect()
         exact = {r.id for r in exact_rows}
         exact_cos = {r.id: r.cos for r in exact_rows}
-        approx = similarity.ivf_topk(emb, qvec, k=10).collect()
+        approx = similarity.ivf_topk(ivf_index, qvec, k=10).collect()
         for r in approx:
             if r.id in exact_cos:
                 assert r.cos == pytest.approx(exact_cos[r.id], rel=1e-12)
@@ -121,8 +194,20 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert hits / total >= 0.6, f"recall {hits}/{total}"
 
 
-def test_ivf_deterministic(emb):
+def test_ivf_deterministic_across_builds(spark, emb, tmp_path_factory):
+    """Two independent builds over differently-partitioned inputs must
+    train identical centroids and return identical top-k (the quantizer
+    sample is orderBy(id)-deterministic — ADVICE similarity.py:141)."""
+    import numpy as np
+
+    a = similarity.IvfIndex.build(
+        emb, str(tmp_path_factory.mktemp("ivfa"))
+    )
+    b = similarity.IvfIndex.build(
+        emb.repartition(7), str(tmp_path_factory.mktemp("ivfb"))
+    )
+    assert np.array_equal(a.centroids, b.centroids)
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 1).head()["embedding"]]
-    a = similarity.ivf_topk(emb, qvec, k=5).collect()
-    b = similarity.ivf_topk(emb, qvec, k=5).collect()
-    assert [(r.id, r.cos) for r in a] == [(r.id, r.cos) for r in b]
+    ra = [(r.id, r.cos) for r in a.topk(qvec, k=5).collect()]
+    rb = [(r.id, r.cos) for r in b.topk(qvec, k=5).collect()]
+    assert ra == rb
