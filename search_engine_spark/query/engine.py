@@ -240,18 +240,18 @@ class SearchEngine:
             )
         return self.execute(plans, use_wand=use_wand)
 
-    def rerank(
-        self,
-        plans: list[CompiledQuery],
-        model=None,
-        use_wand: bool = True,
+    def _feature_scores(
+        self, live: list[CompiledQuery], candidates: DataFrame, model=None
     ) -> DataFrame:
-        """BM25 top-``num_candidates`` -> 10-feature extraction (second,
-        candidate-focused kernel pass with positions) -> MLP score ->
-        top-``num_return`` (reference Q21/Q22, inverted_index.py:1778-1832).
-        """
-        import numpy as np
+        """10-feature extraction + MLP over a ``(qid, doc_id)`` candidate
+        DataFrame -> (qid, doc_id, mlp_score).
 
+        Fully distributed: the per-chunk candidate lists are grouped and
+        broadcast-joined onto the doclens side of the cogroup (no driver
+        ``collect()`` — a 10k-query offline rerank stays cluster-bound).
+        Chunks without candidates drop out via the inner join; postings
+        rows for such chunks meet an empty right side and return nothing.
+        """
         from search_engine_spark.ranking.features import (
             FEATURES_SCHEMA,
             make_features_kernel,
@@ -259,45 +259,26 @@ class SearchEngine:
         from search_engine_spark.ranking.model import RankingModel
 
         model = model or RankingModel.seeded()
-        live = [p for p in plans if p.tree[0] != EMPTY]
-        if not live:
-            return self._empty_ranked()
-        # stage 1: BM25 candidates (top num_candidates per query)
-        wide = [
-            CompiledQuery(**{**p.__dict__, "num_return": p.num_candidates})
-            for p in live
-        ]
-        cand_rows = self.execute(wide, use_wand=use_wand).collect()
-        candidates: dict[int, np.ndarray] = {}
-        for r in cand_rows:
-            candidates.setdefault(r.qid, []).append(r.doc_id)
-        candidates = {
-            q: np.array(sorted(d), dtype=np.int64)
-            for q, d in candidates.items()
-        }
-        if not candidates:
-            return self._empty_ranked()
-        # stage 2: feature extraction + MLP on candidate chunks only
+        cand_by_chunk = (
+            candidates.withColumn(
+                "chunk_id",
+                F.floor(F.col("doc_id") / self.config.chunk_docs).cast("long"),
+            )
+            .groupBy("chunk_id")
+            .agg(F.collect_list(F.struct("qid", "doc_id")).alias("cands"))
+        )
         fetch_terms = sorted({t for p in live for t in p.fetch_terms})
         buckets = sorted(
             {term_bucket(t, self.config.n_term_buckets) for t in fetch_terms}
         )
-        cand_chunks = sorted(
-            {
-                int(d) // self.config.chunk_docs
-                for arr in candidates.values()
-                for d in arr
-            }
-        )
         postings = self._postings.where(
-            F.col("bucket").isin(buckets)
-            & F.col("term").isin(fetch_terms)
-            & F.col("chunk_id").isin(cand_chunks)
+            F.col("bucket").isin(buckets) & F.col("term").isin(fetch_terms)
         ).select(*(_BASE_COLS + _POS_COLS))
-        doclens = self._doclens.where(F.col("chunk_id").isin(cand_chunks))
+        doclens = self._doclens.join(
+            F.broadcast(cand_by_chunk), "chunk_id", "inner"
+        )
         kernel = make_features_kernel(
             live,
-            candidates,
             model.w,
             {
                 "num_docs": int(self.stats["num_docs"]),
@@ -310,18 +291,40 @@ class SearchEngine:
             self.config.b,
             self.config.title_weight,
         )
-        scored = (
+        return (
             postings.groupby("chunk_id")
             .cogroup(doclens.groupby("chunk_id"))
             .applyInPandas(kernel, FEATURES_SCHEMA)
         )
+
+    def rerank(
+        self,
+        plans: list[CompiledQuery],
+        model=None,
+        use_wand: bool = True,
+    ) -> DataFrame:
+        """BM25 top-``num_candidates`` -> 10-feature extraction (second,
+        candidate-focused kernel pass with positions) -> MLP score ->
+        top-``num_return`` (reference Q21/Q22, inverted_index.py:1778-1832).
+        """
+        live = [p for p in plans if p.tree[0] != EMPTY]
+        if not live:
+            return self._empty_ranked()
+        # stage 1: BM25 candidates (top num_candidates per query) — kept
+        # as a DataFrame end-to-end
+        wide = [
+            CompiledQuery(**{**p.__dict__, "num_return": p.num_candidates})
+            for p in live
+        ]
+        cand = self.execute(wide, use_wand=use_wand).select("qid", "doc_id")
+        scored = self._feature_scores(live, cand, model)
         w = Window.partitionBy("qid").orderBy(
             F.desc("mlp_score"), F.asc("doc_id")
         )
-        max_n = max(p.num_return for p in live)
+        n_return = {p.qid: p.num_return for p in live}
         return (
             scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.lit(max_n))
+            .where(F.col("rank") <= _per_qid_limit(n_return))
             .withColumnRenamed("mlp_score", "score")
         )
 

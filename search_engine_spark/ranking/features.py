@@ -107,14 +107,19 @@ def chunk_features(
 
 def make_features_kernel(
     plans: list[CompiledQuery],
-    candidates: dict[int, np.ndarray],  # qid -> sorted doc ids
     model_weights: dict[str, np.ndarray],
     stats: dict,
     k1: float,
     b: float,
     title_weight: float,
 ):
-    """cogroup(postings, doclens).applyInPandas fn -> FEATURES_SCHEMA."""
+    """cogroup(postings, doclens ⋈ per-chunk candidates).applyInPandas fn
+    -> FEATURES_SCHEMA.
+
+    The right side carries a ``cands`` column (array<struct<qid, doc_id>>,
+    broadcast-joined per chunk by ``SearchEngine._feature_scores``) — the
+    candidate set arrives through the plan, not a driver-side closure.
+    """
     from search_engine_spark.ranking.model import RankingModel
 
     plan_by_qid = {p.qid: p for p in plans}
@@ -126,19 +131,21 @@ def make_features_kernel(
         # real length features).  Only a missing doclens side is a no-op.
         if len(right) == 0:
             return _empty()
-        chunk = decode_doclens_row(next(right.itertuples(index=False)))
-        lo, hi = chunk.doc_ids[0], chunk.doc_ids[-1]
+        row = next(right.itertuples(index=False))
+        chunk = decode_doclens_row(row)
+        cand_lists: dict[int, list] = {}
+        for s in row.cands:
+            qid, doc = (s["qid"], s["doc_id"]) if isinstance(s, dict) else s
+            cand_lists.setdefault(int(qid), []).append(int(doc))
         terms: dict[str, TermChunk] = {}
-        for row in left.itertuples(index=False):
-            terms[row.term] = decode_term_row(
-                row, need_positions=True, need_blocks=False
+        for prow in left.itertuples(index=False):
+            terms[prow.term] = decode_term_row(
+                prow, need_positions=True, need_blocks=False
             )
         model = RankingModel(model_weights)
         out_q, out_d, out_s = [], [], []
-        for qid, cand_all in candidates.items():
-            cand = cand_all[(cand_all >= lo) & (cand_all <= hi)]
-            if cand.size == 0:
-                continue
+        for qid, cand_list in cand_lists.items():
+            cand = np.array(sorted(cand_list), dtype=np.int64)
             feats = chunk_features(
                 plan_by_qid[qid], cand, terms, chunk, stats, k1, b,
                 title_weight,

@@ -127,15 +127,16 @@ def test_rerank_scores_candidates_outside_posting_chunks(setup):
                           num_return=10)
     chunk_row = engine._doclens.orderBy("chunk_id").limit(1)
     right = chunk_row.toPandas()
+    # docs 0..2 live in chunk 0 — candidate lists ride the right side
+    right["cands"] = [[{"qid": plan.qid, "doc_id": int(d)} for d in range(3)]]
     left = (
         engine._postings.where(F.lit(False))
         .select("term", "chunk_id", "df", "doc_ids", "tfs_body",
                 "tfs_title", "pos_body", "pos_title")
         .toPandas()
     )
-    cand = np.arange(3, dtype=np.int64)  # docs 0..2 live in chunk 0
     kernel = make_features_kernel(
-        [plan], {plan.qid: cand}, RankingModel.seeded().w,
+        [plan], RankingModel.seeded().w,
         {
             "num_docs": int(engine.stats["num_docs"]),
             "avg_doc_len": float(engine.stats["avg_doc_len"]),
@@ -148,6 +149,23 @@ def test_rerank_scores_candidates_outside_posting_chunks(setup):
     out = kernel(left, right)
     assert sorted(out["doc_id"].tolist()) == [0, 1, 2]
     assert np.isfinite(out["mlp_score"].to_numpy()).all()
+
+
+def test_rerank_plan_has_no_driver_collect(setup, monkeypatch):
+    """Building the rerank plan must stay lazy — no DataFrame.collect()
+    round-trip for the candidate set (VERDICT What's-wrong #4)."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    engine, _oracle = setup
+    plan = engine.compile("zqmerge zqshard", SearchMode.OR, num_return=5)
+
+    def _no_collect(self):  # pragma: no cover - raise path
+        raise AssertionError("driver collect() during rerank plan build")
+
+    monkeypatch.setattr(SparkDataFrame, "collect", _no_collect)
+    df = engine.rerank([plan])  # plan construction only
+    monkeypatch.undo()
+    assert len(df.collect()) > 0
 
 
 def test_bm25_all_empty_titles_guard():
