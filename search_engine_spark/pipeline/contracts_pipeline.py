@@ -503,6 +503,343 @@ FROM w
 """
 
 
+# ------------------------------------------------------------ dataset
+# Offline training-dataset pipeline (pipeline/dataset.py): synthetic
+# qrels/queries/top100 are pure functions of `documents` (sandbox mandate:
+# no external data), so the DuckDB oracle re-derives them expression-for-
+# expression and the whole D2/D4/D5/D6/D11/D12 + feature chain is
+# hash-checked.
+
+from search_engine_spark.pipeline import dataset as ds
+
+_T_RANKS = [str(r) for r in ds.TARGET_RANKS]
+
+
+def _dataset_docs(spark: SparkSession, sf_dir: str):
+    docs0 = _docs(spark, sf_dir)
+    return docs0, docs0.select(
+        F.col("doc_id").alias("docid"),
+        F.col("source").alias("title"),
+        F.col("text").alias("body"),
+    )
+
+
+def _dataset_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs0, docs = _dataset_docs(spark, sf_dir)
+    piv = ds.rank_pivot(ds.synth_top100(docs0))
+    train = ds.join_train(docs, ds.synth_qrels(docs0), ds.synth_queries(docs0))
+    labeled = ds.label_matches(
+        train.join(F.broadcast(piv), "queryid"), _T_RANKS
+    )
+    return ds.with_row_index(labeled, ["queryid"])
+
+
+def _dataset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs0, docs = _dataset_docs(spark, sf_dir)
+    labeled = _dataset_labeled(spark, sf_dir)
+    r = docs.agg(
+        F.sum(F.size(ds.tokens_col("body"))).alias("sb"),
+        F.sum(F.size(ds.tokens_col("title"))).alias("st"),
+        F.count("*").alias("n"),
+    ).head()
+    avg_bl, avg_tl, n_docs = r.sb / r.n, r.st / r.n, int(r.n)
+    with_idf = ds.query_idf_lists(labeled, ds.term_dfs(docs), n_docs)
+    return ds.offline_features(with_idf, avg_bl, avg_tl)
+
+
+# shared DuckDB CTE prologue for the dataset oracles
+_DS_TOK = "regexp_extract_all(lower({c}), '[a-z0-9_]+')"
+_DS_CTES = f"""
+WITH docs AS (
+  SELECT doc_id AS docid, source AS title, text AS body FROM documents
+),
+tok AS (
+  SELECT docid, {_DS_TOK.format(c='body')} AS bt,
+         {_DS_TOK.format(c='title')} AS tt
+  FROM docs
+),
+st AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(len(bt))::DOUBLE / count(*) AS avg_bl,
+         sum(len(tt))::DOUBLE / count(*) AS avg_tl
+  FROM tok
+),
+tdf AS (
+  SELECT tok, count(*)::BIGINT AS df
+  FROM (SELECT docid, unnest(list_distinct(list_concat(bt, tt))) AS tok
+        FROM tok)
+  GROUP BY tok
+),
+queries AS (
+  SELECT doc_id // 10 AS queryid,
+         array_to_string(({_DS_TOK.format(c='text')})[1:2], ' ') AS query
+  FROM documents WHERE doc_id % 10 = 0
+),
+qrels AS (
+  SELECT doc_id // 10 AS queryid, doc_id AS docid, 1 AS rel
+  FROM documents WHERE doc_id % 10 = 0
+),
+top100 AS (
+  SELECT q.queryid, r.rank,
+         (q.queryid * 7 + 13 * r.rank) % (SELECT n FROM st) AS docid,
+         (100.0 - r.rank) AS score
+  FROM queries q, (SELECT unnest(range(1, 101)) AS rank) r
+)
+"""
+
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f'max(CASE WHEN rank = {r} THEN docid END) AS "{r}"'
+    for r in ds.TARGET_RANKS
+)
+
+_DS_PIVOT_CTE = f"""
+piv AS (
+  SELECT queryid, {_PIVOT_COLS_SQL}
+  FROM top100
+  WHERE rank <= 6 OR rank > 94
+  GROUP BY queryid
+)"""
+
+_MATCH_SQL = "COALESCE(" + ", ".join(
+    f"CASE WHEN t.docid = piv.\"{r}\" THEN '{r}' END" for r in ds.TARGET_RANKS
+) + ")"
+
+_DS_LABELED_CTE = f"""
+labeled AS (
+  SELECT (row_number() OVER (ORDER BY t.queryid) - 1) AS "index",
+         t.queryid, t.docid, t.query, {_MATCH_SQL} AS match,
+         {", ".join(f'piv."{r}"' for r in ds.TARGET_RANKS)}
+  FROM (SELECT q.queryid, q.query, r.docid
+        FROM qrels r JOIN queries q USING (queryid)) t
+  JOIN piv USING (queryid)
+)"""
+
+
+def q_ds_rank_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: rank -> columns pivot of the synthetic top100
+    (create-dataset.py:52-57)."""
+    docs0, _ = _dataset_docs(spark, sf_dir)
+    return ds.rank_pivot(ds.synth_top100(docs0))
+
+
+SQL_DS_RANK_PIVOT = (
+    _DS_CTES + f""", {_DS_PIVOT_CTE}
+SELECT * FROM piv
+"""
+)
+
+
+def q_ds_train_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+D5+D6: joined train table with match labels and row index
+    (create-dataset.py:29,61-74)."""
+    return _dataset_labeled(spark, sf_dir).select(
+        "index", "queryid", "docid", "query", "match"
+    )
+
+
+SQL_DS_TRAIN_LABELS = (
+    _DS_CTES + f""", {_DS_PIVOT_CTE}, {_DS_LABELED_CTE}
+SELECT "index", queryid, docid, query, match FROM labeled
+"""
+)
+
+
+# --- feature SQL builder (shared by positives and negatives oracles) ---
+
+def _feat_exprs_sql(bt: str, tt: str) -> dict[str, str]:
+    """The 10 feature expressions over (qt, idfs, {bt}, {tt}) list columns
+    — mirrors pipeline/dataset.py offline_features (same accumulation
+    order; norms handled by callers)."""
+    def w(ft: str, avg: str) -> str:
+        return (
+            f"list_transform(qt, t -> len(list_filter({ft}, x -> x = t))::DOUBLE"
+            f" / ((1.0 - 0.75) + 0.75 * (len({ft})::DOUBLE / {avg})))"
+        )
+
+    def bm25(ws: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(len(qt)), "
+            f"j -> idfs[j + 1] * ({ws}[j + 1] * (1.6 + 1.0))"
+            f" / ({ws}[j + 1] + 1.6))), (a, x) -> a + x)"
+        )
+
+    def fo(ft: str) -> str:
+        return (
+            f"list_transform(list_transform(qt, "
+            f"t -> coalesce(list_position({ft}, t), 0)), "
+            f"p -> CASE WHEN p > 0 THEN (p - 1)::DOUBLE / len({ft})"
+            f" ELSE 1.0 END)"
+        )
+
+    wb, wt = w(bt, "st.avg_bl"), w(tt, "st.avg_tl")
+    wc = f"list_transform(range(len(qt)), j -> {wb}[j + 1] + 2.0 * {wt}[j + 1])"
+    fob, fot = fo(bt), fo(tt)
+    mean = "(list_reduce(list_prepend(0.0, {l}), (a, x) -> a + x) / len(qt))"
+    return {
+        "bm25_score": bm25(wc),
+        "bm25_score_body": bm25(wb),
+        "bm25_score_title": bm25(wt),
+        "body_first_occurrence_mean": mean.format(l=fob),
+        "title_first_occurrence_mean": mean.format(l=fot),
+        "body_first_occurrence_min": f"list_min({fob})",
+        "title_first_occurrence_min": f"list_min({fot})",
+        "in_title": f"(CASE WHEN len(list_filter({fot}, x -> x < 1.0)) > 0"
+                    f" THEN 1 ELSE 0 END)",
+    }
+
+
+_DS_QIDF_CTE = """
+qexp AS (
+  SELECT queryid, unnest(range(len(qt))) AS i, unnest(qt) AS tok
+  FROM (SELECT queryid, regexp_extract_all(lower(query), '[a-z0-9_]+') AS qt
+        FROM queries)
+),
+qidf AS (
+  SELECT q.queryid,
+         list(coalesce(ln(((SELECT n FROM st) * 1.0 - d.df + 0.5)
+                          / (d.df + 0.5)), 0.0) ORDER BY q.i) AS idfs
+  FROM qexp q LEFT JOIN tdf d ON d.tok = q.tok
+  GROUP BY q.queryid
+)"""
+
+
+def q_ds_offline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8/D9: the 10 offline ranking features for the positive (query,
+    doc) pairs (create-dataset-features.py:109-363), rounded to 6."""
+    feats = _dataset_features(spark, sf_dir)
+    return feats.select(
+        "index", "queryid", "docid",
+        *[
+            F.round(F.col(c).cast("double"), 6).alias(c)
+            for c in ds.FEATURE_COLUMNS
+        ],
+    )
+
+
+def _sql_ds_offline_features() -> str:
+    e = _feat_exprs_sql("bt", "tt")
+    sel = ",\n       ".join(
+        f"round({e[c]}, 6)::DOUBLE AS {c}"
+        for c in ds.FEATURE_COLUMNS
+        if c not in ("body_length_norm", "title_length_norm", "in_title")
+    )
+    return (
+        _DS_CTES
+        + f""", {_DS_PIVOT_CTE}, {_DS_LABELED_CTE}, {_DS_QIDF_CTE},
+base AS (
+  SELECT l."index" AS "index", l.queryid, l.docid,
+         regexp_extract_all(lower(l.query), '[a-z0-9_]+') AS qt,
+         qidf.idfs, tok.bt, tok.tt,
+         len(tok.bt)::BIGINT AS blen, len(tok.tt)::BIGINT AS tlen
+  FROM labeled l
+  JOIN qidf USING (queryid)
+  JOIN tok ON tok.docid = l.docid
+),
+mx AS (SELECT max(blen) AS mbl, max(tlen) AS mtl FROM base)
+SELECT base."index" AS "index", base.queryid, base.docid,
+       {sel},
+       round(coalesce(blen / mx.mbl, 0.0), 6)::DOUBLE AS body_length_norm,
+       round(coalesce(tlen / mx.mtl, 0.0), 6)::DOUBLE AS title_length_norm,
+       round({e['in_title']}, 6)::DOUBLE AS in_title
+FROM base
+CROSS JOIN mx, st
+"""
+    )
+
+
+def q_ds_negatives_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10+D11: melt -> single docs join -> featurize -> pivot back;
+    contract projects the norm-free features of ranks 1 and 100 (the
+    per-rank norms are exercised by pytest; bm25/first-occurrence columns
+    are rank-independent of the frame)."""
+    docs0, docs = _dataset_docs(spark, sf_dir)
+    feats = _dataset_features(spark, sf_dir)
+    r = docs.agg(
+        F.sum(F.size(ds.tokens_col("body"))).alias("sb"),
+        F.sum(F.size(ds.tokens_col("title"))).alias("st"),
+        F.count("*").alias("n"),
+    ).head()
+    wide = ds.negatives_features_wide(
+        feats.select(
+            "index", "queryid", "query", "query_idfs",
+            *[f"`{c}`" for c in _T_RANKS],
+        ),
+        docs,
+        r.sb / r.n,
+        r.st / r.n,
+    )
+    return wide.select(
+        "index",
+        F.round("bm25_score_1", 6).alias("bm25_score_1"),
+        F.round("body_first_occurrence_mean_1", 6).alias(
+            "body_first_occurrence_mean_1"
+        ),
+        F.round("bm25_score_100", 6).alias("bm25_score_100"),
+        F.round(F.col("in_title_100").cast("double"), 6).alias("in_title_100"),
+    )
+
+
+def _sql_ds_negatives_wide() -> str:
+    e = _feat_exprs_sql("bt", "tt")
+    return (
+        _DS_CTES
+        + f""", {_DS_PIVOT_CTE}, {_DS_LABELED_CTE}, {_DS_QIDF_CTE},
+negbase AS (
+  SELECT l."index" AS "index", nr.neg_rank,
+         regexp_extract_all(lower(l.query), '[a-z0-9_]+') AS qt,
+         qidf.idfs, tok.bt, tok.tt
+  FROM labeled l
+  JOIN qidf USING (queryid)
+  JOIN (SELECT "index", '1' AS neg_rank, "1" AS docid FROM labeled
+        UNION ALL
+        SELECT "index", '100' AS neg_rank, "100" AS docid FROM labeled) nr
+    USING ("index")
+  JOIN tok ON tok.docid = nr.docid
+)
+SELECT n."index" AS "index",
+       round(max(CASE WHEN neg_rank = '1' THEN {e['bm25_score']} END), 6)::DOUBLE
+         AS bm25_score_1,
+       round(max(CASE WHEN neg_rank = '1'
+                 THEN {e['body_first_occurrence_mean']} END), 6)::DOUBLE
+         AS body_first_occurrence_mean_1,
+       round(max(CASE WHEN neg_rank = '100' THEN {e['bm25_score']} END), 6)::DOUBLE
+         AS bm25_score_100,
+       round(max(CASE WHEN neg_rank = '100' THEN {e['in_title']} END), 6)::DOUBLE
+         AS in_title_100
+FROM negbase n, st
+GROUP BY n."index"
+"""
+    )
+
+
+def q_ds_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: deterministic seeded 80/10/10 split — per-split row count and
+    index checksum (create-dataset-negatives.ipynb seed-42 split)."""
+    labeled = _dataset_labeled(spark, sf_dir)
+    tagged = labeled.withColumn("split", ds.split_col("index"))
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("index").cast("long").alias("sum_index"),
+    )
+
+
+SQL_DS_SPLIT_COUNTS = (
+    _DS_CTES + f""", {_DS_PIVOT_CTE}, {_DS_LABELED_CTE},
+tagged AS (
+  SELECT "index",
+         CASE WHEN ('0x' || substr(md5(42 || '_' || "index"), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.8 THEN 'train'
+              WHEN ('0x' || substr(md5(42 || '_' || "index"), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM labeled
+)
+SELECT split, count(*)::BIGINT AS n, sum("index")::BIGINT AS sum_index
+FROM tagged GROUP BY split
+"""
+)
+
+
 # ------------------------------------------------------------ multimodal
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,6 +872,15 @@ PIPELINE_QUERIES = {
     # that table is unreadable at import time
     "ann_lsh_topk": (q_lsh_topk, _sql_ann_lsh()),
     "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf()),
+    "dataset_rank_pivot": (q_ds_rank_pivot, SQL_DS_RANK_PIVOT),
+    "dataset_train_labels": (q_ds_train_labels, SQL_DS_TRAIN_LABELS),
+    "dataset_offline_features": (
+        q_ds_offline_features, _sql_ds_offline_features(),
+    ),
+    "dataset_negatives_wide": (
+        q_ds_negatives_wide, _sql_ds_negatives_wide(),
+    ),
+    "dataset_split_counts": (q_ds_split_counts, SQL_DS_SPLIT_COUNTS),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
