@@ -503,6 +503,82 @@ FROM w
 """
 
 
+# ------------------------------------------------------------ embeddings
+
+def q_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 ingestion chain on the deterministic fake encoder: prefix ->
+    batched mapInPandas encode -> layer-norm -> truncate(32) ->
+    L2-normalize; contract projects two components + sum + norm."""
+    from search_engine_spark.pipeline import embeddings
+
+    docs = _docs(spark, sf_dir)
+    emb = embeddings.embed_pipeline(docs, title_col="source")
+    e = F.col("embedding")
+    return emb.select(
+        "id",
+        F.round(e[0], 6).alias("e0"),
+        F.round(e[15], 6).alias("e15"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("e_sum"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(e, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("e_norm"),
+    )
+
+
+SQL_EMBED_INGEST = """
+WITH src AS (
+  SELECT doc_id AS id, 'search_document: ' || source || text AS t
+  FROM documents
+),
+raw AS (
+  SELECT id, list_transform(range(64), i ->
+    (('0x' || substr(md5(t || '|' || i), 1, 8))::BIGINT
+      / 4294967296.0 - 0.5)) AS r
+  FROM src
+),
+mv AS (
+  SELECT id, r,
+         list_reduce(list_prepend(0.0, r), (a, x) -> a + x) / 64.0 AS m
+  FROM raw
+),
+vv AS (
+  SELECT id, r, m,
+         list_reduce(list_prepend(0.0,
+           list_transform(r, x -> (x - m) * (x - m))), (a, x) -> a + x)
+           / 64.0 AS v
+  FROM mv
+),
+ln AS (
+  SELECT id, list_transform(r, x -> (x - m) / sqrt(v + 1e-5)) AS l FROM vv
+),
+tr AS (SELECT id, l[1:32] AS t FROM ln),
+l2 AS (
+  SELECT id, t,
+         greatest(sqrt(list_reduce(list_prepend(0.0,
+           list_transform(t, x -> x * x)), (a, x) -> a + x)), 1e-12) AS nrm
+  FROM tr
+)
+SELECT id,
+  round(t[1] / nrm, 6)::DOUBLE AS e0,
+  round(t[16] / nrm, 6)::DOUBLE AS e15,
+  round(list_reduce(list_prepend(0.0,
+    list_transform(t, x -> x / nrm)), (a, x) -> a + x), 6)::DOUBLE AS e_sum,
+  round(sqrt(list_reduce(list_prepend(0.0,
+    list_transform(t, x -> (x / nrm) * (x / nrm))), (a, x) -> a + x)),
+    6)::DOUBLE AS e_norm
+FROM l2
+"""
+
+
 # ------------------------------------------------------------ dataset
 # Offline training-dataset pipeline (pipeline/dataset.py): synthetic
 # qrels/queries/top100 are pure functions of `documents` (sandbox mandate:
@@ -872,6 +948,7 @@ PIPELINE_QUERIES = {
     # that table is unreadable at import time
     "ann_lsh_topk": (q_lsh_topk, _sql_ann_lsh()),
     "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf()),
+    "embed_ingest": (q_embed_ingest, SQL_EMBED_INGEST),
     "dataset_rank_pivot": (q_ds_rank_pivot, SQL_DS_RANK_PIVOT),
     "dataset_train_labels": (q_ds_train_labels, SQL_DS_TRAIN_LABELS),
     "dataset_offline_features": (

@@ -157,6 +157,48 @@ def test_lsh_band_bucket_cap_bounds_planted_skew(spark, docs):
     assert any(g.n_docs == 300 for g in groups)
 
 
+def test_embed_ingest_shapes_and_invariants(spark, docs):
+    """B13 plumbing: unit-norm truncated embeddings, batch-size- and
+    partitioning-invariant, real-model names stubbed."""
+    import numpy as np
+
+    from search_engine_spark.pipeline import embeddings
+
+    small = docs.limit(40)
+    out = embeddings.embed_pipeline(
+        small, title_col="source", model_dim=16, truncate_dim=8,
+        batch_size=7,
+    ).collect()
+    assert len(out) == 40
+    by_id = {}
+    for r in out:
+        v = np.array(r.embedding)
+        assert v.shape == (8,)
+        assert np.linalg.norm(v) == pytest.approx(1.0, rel=1e-9)
+        by_id[r.id] = v
+    # batch size and input partitioning must not change values
+    out2 = embeddings.embed_pipeline(
+        small.repartition(5), title_col="source", model_dim=16,
+        truncate_dim=8, batch_size=32,
+    ).collect()
+    for r in out2:
+        assert np.array_equal(np.array(r.embedding), by_id[r.id])
+    with pytest.raises(NotImplementedError):
+        embeddings.get_encoder("nomic-ai/nomic-embed-text-v1.5")
+    # layer-norm twin of torch.nn.functional.layer_norm semantics —
+    # direct numpy check on one synthetic text, independent of the table
+    enc = embeddings.fake_md5_encoder(16)
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    row = embeddings.embed_pipeline(
+        one, title_col=None, model_dim=16, truncate_dim=8
+    ).head()
+    raw1 = enc(["search_document: hello"])[0]
+    ln1 = (raw1 - raw1.mean()) / np.sqrt(raw1.var() + 1e-5)
+    tr1 = ln1[:8]
+    exp1 = tr1 / max(np.linalg.norm(tr1), 1e-12)
+    assert np.allclose(np.array(row.embedding), exp1, rtol=1e-9)
+
+
 def test_multimodal_stub_paths(docs):
     binary = multimodal.attach_binary(docs.limit(20), "doc_id", "text")
     feats = multimodal.decode_features(binary).collect()
