@@ -325,7 +325,29 @@ LIMIT 20
 )
 
 
+def q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic+traditional blend (Q26): ANN cosine candidates -> BM25
+    features + seeded MLP -> min-max blend cos_norm + (e^mlp_norm - 1).
+    Rows-only contract (the MLP head is not SQL-expressible); the blend
+    math is rank-identity-tested against a numpy oracle in
+    tests/test_semantic.py."""
+    engine = get_engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    out = engine.semantic_search(
+        "dup small", qvec, embeddings=emb,
+        num_semantic_candidates=50, num_return=10,
+    )
+    return out.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score"), "rank"
+    )
+
+
 CORE_QUERIES = {
+    "search_semantic_topk": (q_search_semantic, None),
     "docs_table": (q_docs_table, SQL_DOCS_TABLE),
     "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
     "term_df": (q_term_df, SQL_TERM_DF),

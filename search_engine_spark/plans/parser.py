@@ -30,6 +30,7 @@ class SearchMode(enum.Enum):
     NOT = "NOT"
     PHRASE = "PHRASE"
     QUERY_EVALUATOR = "QUERY_EVALUATOR"
+    SEMANTIC = "SEMANTIC"  # reference utils.py SearchMode.SEMANTIC
 
     def __repr__(self) -> str:  # pragma: no cover
         return self.value

@@ -328,6 +328,98 @@ class SearchEngine:
             .withColumnRenamed("mlp_score", "score")
         )
 
+    def semantic_search(
+        self,
+        query: str,
+        query_vec: list[float],
+        embeddings=None,
+        ann_index=None,
+        num_semantic_candidates: int = 100,
+        num_return: int = 10,
+        model=None,
+    ) -> DataFrame:
+        """Semantic + traditional blend (reference Q26,
+        ``inverted_index.py:1478-1619``): ANN cosine top
+        ``num_semantic_candidates`` -> un-pruned BM25 feature extraction +
+        MLP over exactly those candidates -> per-query min-max normalize
+        both signals -> ``cos_norm + (e^mlp_norm - 1)`` (:1587-1609) ->
+        top ``num_return``.
+
+        ``query_vec`` is the encoded query (the reference's
+        sentence-transformer runs outside this engine — plug
+        ``pipeline.embeddings`` with a real encoder to produce it).
+        Candidates come from ``ann_index`` (a materialized
+        ``similarity.LshIndex``/``IvfIndex`` — partition-pruned scan) or
+        from a brute-force cosine over the ``embeddings`` DataFrame
+        (``vec_id`` == doc_id).  Ties in the blended score keep cosine
+        order, like the reference's stable sort (:1610-1612).
+        """
+        from search_engine_spark.pipeline import similarity
+        from search_engine_spark.query.plan import _idf
+
+        # --- candidates: (doc_id, cos), cosine-descending
+        if ann_index is not None:
+            cand = ann_index.topk(query_vec, k=num_semantic_candidates)
+        elif embeddings is not None:
+            cand = similarity.cosine_topk(
+                embeddings, query_vec, k=num_semantic_candidates
+            )
+        else:  # pragma: no cover
+            raise ValueError("pass embeddings or ann_index")
+        cand = cand.select(F.col("id").alias("doc_id"), "cos")
+
+        # --- un-pruned per-token plan: every query token keeps a tf
+        # column and its raw idf (df=0 -> ln((N+0.5)/0.5)); the tree is
+        # irrelevant — candidates are fixed by the ANN stage
+        tokens = self._tokenize(query)
+        dfs = self.store.term_stats_for(tokens)
+        num_docs = int(self.stats["num_docs"])
+        plan = CompiledQuery(
+            qid=0,
+            tree=(EMPTY,),
+            columns=tuple(("term", t) for t in tokens),
+            idfs=tuple(_idf(num_docs, dfs.get(t, 0)) for t in tokens),
+            fetch_terms=tuple(sorted({t for t in tokens if dfs.get(t, 0)})),
+            needs_positions=True,
+            scan_all_chunks=False,
+            wand_eligible=False,
+            num_candidates=num_semantic_candidates,
+            num_return=num_return,
+        )
+        mlp = self._feature_scores(
+            [plan], cand.select(F.lit(0).alias("qid"), "doc_id"), model
+        )
+
+        # --- min-max normalize both signals, blend, rank
+        joined = cand.join(mlp.select("doc_id", "mlp_score"), "doc_id")
+        agg = joined.agg(
+            F.min("cos").alias("_cmin"), F.max("cos").alias("_cmax"),
+            F.min("mlp_score").alias("_mmin"), F.max("mlp_score").alias("_mmax"),
+        )
+        norm = joined.crossJoin(F.broadcast(agg)).select(
+            "doc_id", "cos",
+            (
+                (F.col("cos") - F.col("_cmin"))
+                / (F.col("_cmax") - F.col("_cmin") + F.lit(1e-8))
+            ).alias("_cn"),
+            (
+                (F.col("mlp_score") - F.col("_mmin"))
+                / (F.col("_mmax") - F.col("_mmin") + F.lit(1e-8))
+            ).alias("_mn"),
+        )
+        blended = norm.select(
+            F.lit(0).alias("qid"),
+            "doc_id",
+            (F.col("_cn") + (F.exp(F.col("_mn")) - 1.0)).alias("score"),
+            "cos",
+        )
+        w = Window.orderBy(F.desc("score"), F.desc("cos"), F.asc("doc_id"))
+        return (
+            blended.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= num_return)
+            .drop("cos")
+        )
+
     def search_reranked(
         self,
         query: str,
