@@ -30,6 +30,31 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def load_corpus_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    header: bool = False,
+) -> DataFrame:
+    """Corpus from delimited text (the reference ingests headerless TSVs,
+    ``create-dataset.py:8-19``).  Column order must be
+    (repo, path, commit, lang, content); multiline/quoted content is
+    handled by Spark's CSV parser.  Prefer parquet at scale — CSV scans
+    can't column-prune or push filters — but the loader keeps TSV corpora
+    drop-in."""
+    return (
+        spark.read.schema(CORPUS_SCHEMA)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
 def assign_doc_ids(
     corpus: DataFrame, n_partitions: int | None = None
 ) -> DataFrame:

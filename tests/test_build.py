@@ -209,3 +209,39 @@ def test_verify_corpus_sha_invariant(built, spark):
     )
     res2 = builder.verify_corpus(tampered)
     assert res2["sha_mismatch"] >= 1
+
+
+def test_csv_corpus_source_round_trips(spark, tmp_path):
+    """D1: a TSV corpus loads through load_corpus_csv into the exact
+    input shape and builds an index identical to the in-memory corpus."""
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.sources.corpus import load_corpus_csv
+    from search_engine_spark.plans.parser import SearchMode
+
+    rows = synth_corpus(n_docs=60, seed=21)
+    src = spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    csv_dir = str(tmp_path / "corpus_tsv")
+    (
+        src.write.option("sep", "\t").option("header", "false")
+        .option("escape", '"').mode("overwrite").csv(csv_dir)
+    )
+    loaded = load_corpus_csv(spark, csv_dir)
+    assert loaded.schema.simpleString() == src.schema.simpleString()
+    assert loaded.count() == 60
+    # identical content (csv parser round-trips quoting/newlines)
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in loaded.collect()}
+    assert a == b
+    cfg = EngineConfig(chunk_docs=64, chunks_per_batch=2, block_docs=8,
+                       n_term_buckets=8)
+    d = str(tmp_path / "csv_idx")
+    IndexBuilder(spark, d, cfg).build_all(loaded)
+    eng = SearchEngine(spark, d, cfg)
+    oracle = RefSemIndex(corpus_to_tokens(rows))
+    _n, ref = oracle.search_text("zqmerge", SearchMode.AND)
+    got = eng.search("zqmerge", SearchMode.AND).collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        d_ for _s, d_ in ref
+    ]

@@ -51,6 +51,47 @@ def test_dispatch():
     assert tokenize_text("a b", "simple") == ["a", "b"]
 
 
+def test_simplemma_documented_golden_fixtures():
+    """Golden fixtures pinned to the upstream simplemma project's own
+    documented tokenizer behavior (adbar/simplemma README / tokenizer
+    docstring examples), lowercased first like the reference's
+    ``tokenize_text`` (preprocessing.py:40-44).  These run always —
+    unlike test_parity_with_real_simplemma, which needs the package —
+    so rank-identity's tokenizer foundation is evidenced on real prose,
+    URLs, numbers, currency, and hyphen/underscore compounds."""
+    # README example (adbar/simplemma: simple_tokenizer docs)
+    assert simplemma_tokenize(
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit, "
+        "sed do eiusmod tempor incididunt ut labore et dolore magna "
+        "aliqua."
+    ) == [
+        "lorem", "ipsum", "dolor", "sit", "amet", ",", "consectetur",
+        "adipiscing", "elit", ",", "sed", "do", "eiusmod", "tempor",
+        "incididunt", "ut", "labore", "et", "dolore", "magna", "aliqua",
+        ".",
+    ]
+    # behavior classes of the documented TOKREGEX alternatives
+    assert simplemma_tokenize(
+        "Sent from my iPhone — check https://example.org/page?q=1 now!"
+    ) == [
+        "sent", "from", "my", "iphone", "—", "check",
+        "https://example.org/page?q=1", "now", "!",
+    ]
+    assert simplemma_tokenize(
+        "on 01.01.2024 we paid $50.00 for 3-year-old wine-bottles"
+    ) == [
+        "on", "01.01.2024", "we", "paid", "$50.00", "for", "3-year-old",
+        "wine-bottles",
+    ]
+    assert simplemma_tokenize("state-of-the-art co_operation x86_64") == [
+        "state-of-the-art", "co_operation", "x86_64",
+    ]
+    # punctuation runs collapse into one token; quotes/brackets included
+    assert simplemma_tokenize('wait... ("really?!")') == [
+        "wait", "...", '("', "really", '?!")',
+    ]
+
+
 def test_parity_with_real_simplemma():  # pragma: no cover
     simplemma = pytest.importorskip("simplemma", reason="simplemma not installed")
     cases = [
