@@ -66,7 +66,12 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 11) -> np.ndarray:
 
 
 def lsh_bucket_col(emb_col, planes: np.ndarray):
-    """Sign-bit bucket id from dot products with fixed hyperplanes."""
+    """Sign-bit bucket id from dot products with fixed hyperplanes — the
+    JVM-expression specification of the bucket function (the DuckDB
+    contract oracle is derived from it).  ``LshIndex.build`` uses the
+    bit-identical in-batch numpy twin (`_assign_mapper`) instead: Catalyst
+    re-evaluates shared subtrees of large higher-order expressions per
+    element (see pipeline/embeddings.py)."""
     bucket = F.lit(0)
     ac = F.transform(emb_col, lambda v: v.cast("double"))
     for i, p in enumerate(planes):
@@ -97,7 +102,10 @@ def kmeans_centroids(
 
 def ivf_assign_col(emb_col, cents: np.ndarray):
     """Nearest-centroid id as a JVM-side expression (no UDF): squared
-    distances to every centroid, argmin via array_position."""
+    distances to every centroid, argmin via array_position.  Expression
+    specification only — ``IvfIndex.build`` assigns cells with the
+    bit-identical numpy twin (`_assign_mapper`); this form evaluates the
+    whole distance array twice (array_min + array_position)."""
     ac = F.transform(emb_col, lambda v: v.cast("double"))
     dists = F.array(
         *[
@@ -155,6 +163,60 @@ def lsh_probe_buckets(
     return sorted(probe)
 
 
+def _assign_mapper(consts: np.ndarray, kind: str, emb_col: str, out_col: str):
+    """mapInPandas assigner: bucket (LSH sign bits) or cell (IVF argmin)
+    computed vectorized over rows with strict left-to-right accumulation
+    over dimensions — bit-identical to the DuckDB oracle's ``list_reduce``
+    and to the JVM expression twins (`lsh_bucket_col`/`ivf_assign_col`),
+    but one numpy pass per Arrow batch instead of a Catalyst expression
+    that re-evaluates shared subtrees per element (see
+    pipeline/embeddings.py for the measured blowup)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [list(v) for v in pdf[emb_col]], dtype=np.float64
+            )
+            if kind == "lsh":
+                out = np.zeros(mat.shape[0], dtype=np.int64)
+                for i, p in enumerate(consts):
+                    acc = np.zeros(mat.shape[0])
+                    for j in range(mat.shape[1]):
+                        acc += mat[:, j] * p[j]
+                    out |= (acc > 0).astype(np.int64) << i
+            else:  # ivf: first argmin over sequential squared distances
+                dists = np.empty((mat.shape[0], consts.shape[0]))
+                for c, cent in enumerate(consts):
+                    acc = np.zeros(mat.shape[0])
+                    for j in range(mat.shape[1]):
+                        d = mat[:, j] - cent[j]
+                        acc += d * d
+                    dists[:, c] = acc
+                out = dists.argmin(axis=1).astype(np.int64)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return run
+
+
+def _with_assignment(
+    emb: DataFrame, consts: np.ndarray, kind: str, emb_col: str, out_col: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    return emb.mapInPandas(
+        _assign_mapper(consts, kind, emb_col, out_col), schema
+    )
+
+
 def _rescored_topk(
     table: DataFrame, query_vec: list[float], k: int, id_col: str,
     emb_col: str,
@@ -207,7 +269,7 @@ class LshIndex:
         dim = int(emb.select(F.size(emb_col)).head()[0])
         planes = hyperplanes(dim, n_planes, seed)
         (
-            emb.withColumn("bucket", lsh_bucket_col(F.col(emb_col), planes))
+            _with_assignment(emb, planes, "lsh", emb_col, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(path, "table"))
@@ -285,7 +347,7 @@ class IvfIndex:
         )
         cents = kmeans_centroids(sample, n_centroids, seed)
         (
-            emb.withColumn("ivf_cell", ivf_assign_col(F.col(emb_col), cents))
+            _with_assignment(emb, cents, "ivf", emb_col, "ivf_cell")
             .write.mode("overwrite")
             .partitionBy("ivf_cell")
             .parquet(os.path.join(path, "table"))
