@@ -72,6 +72,8 @@ def cmd_build(args: argparse.Namespace) -> None:
 
 
 def cmd_search(args: argparse.Namespace) -> None:
+    from pyspark.sql import functions as F
+
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.plans.parser import SearchMode
     from search_engine_spark.query.engine import SearchEngine
@@ -83,7 +85,38 @@ def cmd_search(args: argparse.Namespace) -> None:
     engine = SearchEngine(spark, args.index, cfg)
     mode = SearchMode[args.mode]
     t0 = time.time()
-    if args.rerank:
+    if mode == SearchMode.SEMANTIC:
+        if not args.embeddings:
+            raise SystemExit("--mode SEMANTIC requires --embeddings")
+        emb = spark.read.parquet(args.embeddings)
+        id_col, emb_col = emb.columns[0], emb.columns[1]
+        if args.query_vec_id is not None:
+            qvec = [
+                float(v)
+                for v in emb.where(
+                    F.col(id_col) == args.query_vec_id
+                ).head()[emb_col]
+            ]
+        else:
+            # encode the query text with the same (stub) encoder family
+            # the `embed` subcommand uses — a real deployment plugs a
+            # sentence-transformer here (pipeline/embeddings.get_encoder)
+            from search_engine_spark.pipeline.embeddings import (
+                fake_md5_encoder, postprocess, DEFAULT_PREFIX,
+            )
+
+            dim = len(emb.head()[emb_col])
+            raw = fake_md5_encoder(args.model_dim)(
+                [DEFAULT_PREFIX + args.query]
+            )
+            qvec = [float(v) for v in postprocess(raw, dim)[0]]
+        ranked = engine.semantic_search(
+            args.query, qvec, embeddings=emb.select(
+                F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+            ),
+            num_return=args.k,
+        )
+    elif args.rerank:
         ranked = engine.search_reranked(args.query, mode, num_return=args.k)
     else:
         ranked = engine.search(args.query, mode, num_return=args.k)
@@ -92,6 +125,129 @@ def cmd_search(args: argparse.Namespace) -> None:
     for r in out:
         print(f"{r.rank:3d}  {r.score:12.6f}  {r.doc_id:10d}  {r.repo}/{r.path}")
     print(f"-- {len(out)} results in {wall:.3f}s", file=sys.stderr)
+
+
+def cmd_embed(args: argparse.Namespace) -> None:
+    """Embedding ingestion (reference embedding_ingestion_nomic.py CLI)."""
+    from search_engine_spark.pipeline.embeddings import (
+        embed_pipeline, get_encoder,
+    )
+
+    spark = _spark("se-embed")
+    corpus = spark.read.parquet(args.corpus)
+    out = embed_pipeline(
+        corpus,
+        id_col=args.id_col,
+        body_col=args.body_col,
+        title_col=args.title_col,
+        model_dim=args.model_dim,
+        truncate_dim=args.truncate_dim,
+        batch_size=args.batch_size,
+        encoder=get_encoder(args.model, args.model_dim),
+    )
+    out.withColumnRenamed("id", "vec_id").write.mode("overwrite").parquet(
+        args.output
+    )
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+
+
+def cmd_ann_build(args: argparse.Namespace) -> None:
+    from search_engine_spark.pipeline.similarity import IvfIndex, LshIndex
+
+    spark = _spark("se-ann-build")
+    emb = spark.read.parquet(args.embeddings)
+    if args.kind == "lsh":
+        idx = LshIndex.build(
+            emb, args.output, n_planes=args.n_planes, seed=args.seed
+        )
+    else:
+        idx = IvfIndex.build(
+            emb, args.output, n_centroids=args.n_centroids, seed=args.seed
+        )
+    print(json.dumps(idx.meta | {"path": args.output}, default=str))
+
+
+def cmd_make_dataset(args: argparse.Namespace) -> None:
+    """Offline training-dataset pipeline + optional re-ranker training
+    (reference create-dataset*.py + ranking_model/train.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline import dataset as ds
+    from search_engine_spark.ranking import train as tr
+
+    spark = _spark("se-make-dataset")
+    docs0 = spark.read.parquet(args.documents)
+    docs = docs0.select(
+        F.col(args.id_col).alias("docid"),
+        F.col(args.title_col).alias("title"),
+        F.col(args.body_col).alias("body"),
+    )
+    piv = ds.rank_pivot(ds.synth_top100(docs0))
+    labeled = ds.with_row_index(
+        ds.label_matches(
+            ds.join_train(docs, ds.synth_qrels(docs0),
+                          ds.synth_queries(docs0))
+            .join(F.broadcast(piv), "queryid"),
+            [str(r) for r in ds.TARGET_RANKS],
+        ),
+        ["queryid"],
+    )
+    r = docs.agg(
+        F.sum(F.size(ds.tokens_col("body"))).alias("sb"),
+        F.sum(F.size(ds.tokens_col("title"))).alias("st"),
+        F.count("*").alias("n"),
+    ).head()
+    with_idf = ds.query_idf_lists(labeled, ds.term_dfs(docs), int(r.n))
+    feats = ds.offline_features(with_idf, r.sb / r.n, r.st / r.n)
+    wide = ds.negatives_features_wide(
+        feats.select("index", "queryid", "query", "query_idfs",
+                     *[f"`{c}`" for c in ds.TARGET_RANKS]),
+        docs, r.sb / r.n, r.st / r.n,
+    )
+    full = feats.select("index", "match", *ds.FEATURE_COLUMNS).join(
+        wide, "index"
+    )
+    splits = ds.seeded_split(full)
+    for name, frame in splits.items():
+        frame.write.mode("overwrite").parquet(
+            os.path.join(args.output, f"{name}-split.parquet")
+        )
+    summary = {n: f.count() for n, f in splits.items()}
+    if args.train:
+        tr_pdf = splits["train"].toPandas().sort_values("index")
+        te_pdf = splits["test"].toPandas().sort_values("index")
+        X, T = tr.build_examples(tr_pdf)
+        Xt, _ = tr.build_examples(te_pdf)
+        model, hist = tr.fit(X, T, epochs=args.epochs, lr=args.lr)
+        model.save(os.path.join(args.output, "ranking_model.npz"))
+        summary["final_loss"] = round(hist[-1]["loss"], 6)
+        summary.update(
+            {k.replace("@", ""): round(v, 4)
+             for k, v in tr.evaluate(model, Xt).items()}
+        )
+    print(json.dumps(summary))
+
+
+def cmd_stream_ingest(args: argparse.Namespace) -> None:
+    """Drain a streaming corpus source and fold it into the index."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.sources.corpus import CORPUS_SCHEMA
+    from search_engine_spark.streaming import StreamingIndexer
+
+    spark = _spark("se-stream-ingest")
+    cfg = EngineConfig(
+        tokenizer=args.tokenizer,
+        chunk_docs=args.chunk_docs,
+        chunks_per_batch=args.chunks_per_batch,
+        n_term_buckets=args.term_buckets,
+    )
+    indexer = StreamingIndexer(spark, args.index, args.staging, cfg)
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(args.source)
+    indexer.start(stream, available_now=True)
+    res = indexer.advance(final=args.final)
+    print(json.dumps({k: v for k, v in res.items() if k != "batch"}))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -116,13 +272,66 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--mode",
         default="QUERY_EVALUATOR",
-        choices=["AND", "OR", "NOT", "PHRASE", "QUERY_EVALUATOR"],
+        choices=["AND", "OR", "NOT", "PHRASE", "QUERY_EVALUATOR", "SEMANTIC"],
     )
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--tokenizer", default="simplemma")
     s.add_argument("--rerank", action="store_true")
     s.add_argument("--spelling", action="store_true")
+    s.add_argument("--embeddings", default=None,
+                   help="embeddings parquet (SEMANTIC mode)")
+    s.add_argument("--query-vec-id", type=int, default=None,
+                   help="use a stored vector as the query embedding")
+    s.add_argument("--model-dim", type=int, default=64)
     s.set_defaults(fn=cmd_search)
+
+    e = sub.add_parser("embed", help="embedding ingestion (B13)")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--model", default="fake-md5")
+    e.add_argument("--id-col", default="doc_id")
+    e.add_argument("--body-col", default="text")
+    e.add_argument("--title-col", default=None)
+    e.add_argument("--model-dim", type=int, default=64)
+    e.add_argument("--truncate-dim", type=int, default=32)
+    e.add_argument("--batch-size", type=int, default=32)
+    e.set_defaults(fn=cmd_embed)
+
+    a = sub.add_parser("ann-build", help="materialize an ANN index")
+    a.add_argument("--embeddings", required=True)
+    a.add_argument("--output", required=True)
+    a.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+    a.add_argument("--n-planes", type=int, default=4)
+    a.add_argument("--n-centroids", type=int, default=16)
+    a.add_argument("--seed", type=int, default=11)
+    a.set_defaults(fn=cmd_ann_build)
+
+    d = sub.add_parser(
+        "make-dataset",
+        help="offline training dataset (+ optional re-ranker training)",
+    )
+    d.add_argument("--documents", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--title-col", default="source")
+    d.add_argument("--body-col", default="text")
+    d.add_argument("--train", action="store_true")
+    d.add_argument("--epochs", type=int, default=25)
+    d.add_argument("--lr", type=float, default=5e-4)
+    d.set_defaults(fn=cmd_make_dataset)
+
+    st = sub.add_parser(
+        "stream-ingest", help="drain a streaming source into the index"
+    )
+    st.add_argument("--source", required=True)
+    st.add_argument("--index", required=True)
+    st.add_argument("--staging", required=True)
+    st.add_argument("--final", action="store_true")
+    st.add_argument("--tokenizer", default="simplemma")
+    st.add_argument("--chunk-docs", type=int, default=1 << 17)
+    st.add_argument("--chunks-per-batch", type=int, default=64)
+    st.add_argument("--term-buckets", type=int, default=32)
+    st.set_defaults(fn=cmd_stream_ingest)
 
     args = ap.parse_args(argv)
     args.fn(args)

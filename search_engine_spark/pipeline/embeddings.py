@@ -105,7 +105,20 @@ def encode_corpus(
                 {"id": pdf["id"].to_numpy(), "raw": list(mat)}
             )
 
-    return src.mapInPandas(run, "id long, raw array<double>")
+    return src.mapInPandas(run, _out_schema(df, id_col, "raw"))
+
+
+def _out_schema(df: DataFrame, id_col: str, vec_col: str):
+    """(id: <source id type>, <vec_col>: array<double>) — ids keep their
+    input type (string paths work as well as int doc ids)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
 
 
 def _seq_row_sum(mat: np.ndarray) -> np.ndarray:
@@ -173,4 +186,4 @@ def embed_pipeline(
                 {"id": pdf["id"].to_numpy(), "embedding": list(mat)}
             )
 
-    return src.mapInPandas(run, "id long, embedding array<double>")
+    return src.mapInPandas(run, _out_schema(df, id_col, "embedding"))

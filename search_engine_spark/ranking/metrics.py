@@ -19,6 +19,8 @@ def positive_ranks(y_pred: np.ndarray) -> np.ndarray:
 
 def mrr(y_pred: np.ndarray, num_topk: int = 10) -> float:
     """Mean reciprocal rank@k (metrics.py:4-16)."""
+    if y_pred.shape[0] == 0:
+        return 0.0
     ranks = positive_ranks(y_pred).astype(np.float64)
     rr = 1.0 / ranks
     rr[ranks > num_topk] = 0.0
@@ -28,6 +30,8 @@ def mrr(y_pred: np.ndarray, num_topk: int = 10) -> float:
 def ndcg(y_pred: np.ndarray, num_topk: int = 10) -> float:
     """nDCG@k with a single relevant doc: DCG = 1/log2(rank+1), ideal = 1
     (metrics.py:19-32)."""
+    if y_pred.shape[0] == 0:
+        return 0.0
     ranks = positive_ranks(y_pred).astype(np.float64)
     dcg = 1.0 / np.log2(ranks + 1.0)
     dcg[ranks > num_topk] = 0.0

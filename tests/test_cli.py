@@ -1,0 +1,123 @@
+"""CLI end-to-end: build -> search (all modes incl. SEMANTIC) -> embed ->
+ann-build -> make-dataset --train -> stream-ingest, sharing the test
+session via getOrCreate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import cli
+from search_engine_spark.testing.synth import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def ws(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cliws")
+    corpus_path = str(base / "corpus.parquet")
+    spark.createDataFrame(synth_corpus(n_docs=100, seed=31)).write.parquet(
+        corpus_path
+    )
+    return spark, base, corpus_path
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    return capsys.readouterr().out
+
+
+def test_cli_build_and_search(ws, capsys):
+    spark, base, corpus_path = ws
+    idx = str(base / "idx")
+    out = _run(capsys, [
+        "build", "--corpus", corpus_path, "--index", idx,
+        "--chunk-docs", "64", "--chunks-per-batch", "2",
+        "--term-buckets", "8",
+    ])
+    built = json.loads(out.strip().splitlines()[-1])
+    assert built["stats"]["num_docs"] == 100
+    out = _run(capsys, [
+        "search", "--index", idx, "--query", "zqmerge", "--mode", "AND",
+    ])
+    assert "zqmerge" not in out or len(out.splitlines()) >= 1
+
+
+def test_cli_embed_ann_semantic(ws, capsys):
+    spark, base, corpus_path = ws
+    idx = str(base / "idx")
+    emb_path = str(base / "emb.parquet")
+    out = _run(capsys, [
+        "embed", "--corpus", corpus_path, "--output", emb_path,
+        "--id-col", "path", "--body-col", "content",
+        "--model-dim", "16", "--truncate-dim", "8",
+    ])
+    # path is a string id — re-emit with integer ids matching the index
+    # (vec_id == doc_id): easiest via the docs table join
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.config import EngineConfig
+
+    eng = SearchEngine(spark, idx, EngineConfig())
+    docs = eng.store.read_docs().select("doc_id", "path")
+    emb = spark.read.parquet(emb_path).join(
+        docs, F.col("vec_id") == F.col("path")
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    emb_ids = str(base / "emb_ids.parquet")
+    emb.write.parquet(emb_ids)
+
+    ann_dir = str(base / "ann_lsh")
+    out = _run(capsys, [
+        "ann-build", "--embeddings", emb_ids, "--output", ann_dir,
+        "--kind", "lsh",
+    ])
+    meta = json.loads(out.strip().splitlines()[-1])
+    assert meta["kind"] == "lsh" and os.path.isdir(
+        os.path.join(ann_dir, "table")
+    )
+
+    out = _run(capsys, [
+        "search", "--index", idx, "--query", "zqmerge zqshard",
+        "--mode", "SEMANTIC", "--embeddings", emb_ids,
+        "--query-vec-id", "0", "--k", "5",
+    ])
+    assert "results in" not in out  # timing goes to stderr
+    assert len([l for l in out.splitlines() if l.strip()]) >= 1
+
+
+def test_cli_make_dataset_train(ws, capsys):
+    spark, base, _corpus = ws
+    docs_path = str(base / "docs_tbl.parquet")
+    spark.createDataFrame(
+        [(i, f"doc text tokens number {i} zq{i % 7}", f"src{i % 3}")
+         for i in range(120)],
+        "doc_id long, text string, source string",
+    ).write.parquet(docs_path)
+    out_dir = str(base / "dataset")
+    out = _run(capsys, [
+        "make-dataset", "--documents", docs_path, "--output", out_dir,
+        "--train", "--epochs", "3",
+    ])
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["train"] + summary["val"] + summary["test"] == 12
+    assert os.path.exists(os.path.join(out_dir, "ranking_model.npz"))
+    assert "mrr10" in summary
+    assert os.path.isdir(os.path.join(out_dir, "train-split.parquet"))
+
+
+def test_cli_stream_ingest(ws, capsys):
+    spark, base, _corpus = ws
+    src = str(base / "arrivals")
+    rows = synth_corpus(n_docs=70, seed=33)
+    spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content"
+    ).write.mode("append").parquet(src)
+    out = _run(capsys, [
+        "stream-ingest", "--source", src,
+        "--index", str(base / "sidx"), "--staging", str(base / "sstg"),
+        "--chunk-docs", "64", "--chunks-per-batch", "2",
+        "--term-buckets", "8", "--final",
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["indexed"] == 70 and res["num_docs"] == 70
