@@ -194,6 +194,37 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs —
+    the canonical-doc assignment per duplicate cluster."""
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+    return dedup.dedup_components(pairs)
+
+
+def _sql_dedup_components() -> str:
+    """Recursive-CTE oracle: reachability closure, component = min
+    reachable id (DuckDB explores the closure; Spark converges by label
+    propagation — same fixpoint)."""
+    neardup = _sql_minhash_neardup()
+    return f"""
+WITH RECURSIVE pairs AS ({neardup}),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS comp FROM verts
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(comp) AS component FROM reach GROUP BY id
+"""
+
+
 # ------------------------------------------------------------ similarity
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,6 +973,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup()),
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     # full hash-checked oracles (quantizer constants + probe sets inlined
     # from the fixed correctness sf dir); fall back to rows-only (None) if

@@ -234,6 +234,63 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pairs -> connected components: (id, component) where
+    ``component`` is the minimum doc id reachable through the pair graph
+    (the canonical "keep" doc of each duplicate cluster).
+
+    Iterative min-label propagation with DataFrame joins: each round every
+    vertex takes the min of its own label and its neighbours' labels;
+    converges in O(graph diameter) rounds — near-dup clusters are
+    star/clique-shaped (banding links everything similar to everything
+    similar), so the diameter is tiny.  Each round is one shuffle join +
+    one aggregation on the *pair* table (never the corpus); the loop exits
+    on a fixpoint check (one count per round).  For adversarially long
+    chains at 10^12-doc scale, swap the loop body for the large-star/
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same join primitives, O(log n) rounds.
+
+    Only vertices that appear in ``pairs`` are emitted (singletons are
+    their own trivial components).
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(
+            pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        # localCheckpoint truncates the per-round lineage — without it the
+        # plan doubles every iteration (use a reliable checkpoint dir on a
+        # real cluster for executor-loss tolerance)
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash_col(text_col: str, bits: int = 32):

@@ -119,6 +119,24 @@ def test_minhash_finds_planted_neardups(spark, docs):
         assert 0.0 <= r.jaccard <= 1.0
 
 
+def test_dedup_components_chain_and_clique(spark):
+    """Label propagation must collapse chains (A-B, B-C) and cliques into
+    one component keyed by the minimum id, across multiple rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # 4-chain -> component 1
+         (10, 11), (10, 12), (11, 12),    # triangle -> component 10
+         (20, 21)],                       # pair -> component 20
+        "id1 long, id2 long",
+    )
+    comp = {r.id: r.component
+            for r in dedup.dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+    # empty input -> empty output
+    assert dedup.dedup_components(pairs.where(F.lit(False))).count() == 0
+
+
 def test_simhash_on_planted_dups(spark, docs):
     """Exact copies have identical SimHash (hamming 0) and are paired."""
     copies = docs.where(F.col("doc_id") < 5).withColumn(
