@@ -194,6 +194,63 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a corpus with planted duplicate
+    vectors (vec_id % 10 == 0 copied to +1e6): LSH-bucket candidates,
+    exact pairwise cosine >= 0.99."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.99
+    )
+    return pairs.select("id1", "id2", F.round("cos", 6).alias("cos"))
+
+
+def _sql_dedup_embedding(sf_dir: str | None = None) -> str | None:
+    sf_dir = sf_dir or CORRECTNESS_SF_DIR
+    try:
+        embs = _load_oracle_embeddings(sf_dir)
+    except Exception:
+        return None
+    planes = similarity.hyperplanes(embs.shape[1], n_planes=4, seed=11)
+    plane_cols = ", ".join(
+        f"{_lit_list(p)} AS p{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {_seq_dot_sql('e.embedding', f'pl.p{i}')} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(planes.shape[0])
+    )
+    pair_dot = (
+        "list_reduce(list_transform(range(len(l.embedding)), "
+        "i -> l.embedding[i + 1]::DOUBLE * r.embedding[i + 1]::DOUBLE), "
+        "(a, x) -> a + x)"
+    )
+    row_norm = (
+        "sqrt(list_reduce(list_transform({c}, x -> x::DOUBLE * x::DOUBLE), "
+        "(a, x) -> a + x))"
+    )
+    return f"""
+WITH pl AS (SELECT {plane_cols}),
+u AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+b AS (SELECT e.id, e.embedding, ({bucket}) AS bucket FROM u e, pl),
+pairs AS (
+  SELECT l.id AS id1, r.id AS id2,
+         {pair_dot}
+           / ({row_norm.format(c='l.embedding')}
+              * {row_norm.format(c='r.embedding')}) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+)
+SELECT id1, id2, round(cos, 6)::DOUBLE AS cos FROM pairs WHERE cos >= 0.99
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified MinHash near-dup pairs —
     the canonical-doc assignment per duplicate cluster."""
@@ -974,6 +1031,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     # full hash-checked oracles (quantizer constants + probe sets inlined
     # from the fixed correctness sf dir); fall back to rows-only (None) if

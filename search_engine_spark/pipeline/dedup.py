@@ -234,6 +234,62 @@ def minhash_dedup_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    seed: int = 11,
+    max_bucket_size: int | None = 10_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: candidates from shared LSH
+    sign-bucket (same hyperplane family as ``similarity.LshIndex``), exact
+    pairwise cosine inside each bucket, keep pairs >= ``threshold``.
+
+    Same scale shape as the MinHash path: one assignment pass, shuffle on
+    the bucket key, per-bucket self-join with the same ``max_bucket_size``
+    cap (an all-identical-embedding mass would otherwise emit O(b^2)
+    pairs).  Bucket-exact candidates only — at high thresholds
+    (near-duplicates, cos ≈ 1) both members of a pair almost surely share
+    every hyperplane sign; widen with Hamming-1 probing via
+    ``similarity.LshIndex`` if lower thresholds are needed.
+    """
+    from search_engine_spark.pipeline import similarity
+
+    planes = similarity.hyperplanes(
+        int(emb.select(F.size(emb_col)).head()[0]), n_planes, seed
+    )
+    banded = similarity._with_assignment(
+        emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e")),
+        planes, "lsh", "e", "band_key",
+    ).withColumn("band_idx", F.lit(0))
+    banded = _cap_buckets(banded, max_bucket_size)
+    l, r = banded.alias("l"), banded.alias("r")
+    ac = lambda c: F.transform(c, lambda v: v.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ac(F.col("l.e")), ac(F.col("r.e")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(ac(c), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            (dot / (norm(F.col("l.e")) * norm(F.col("r.e")))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def dedup_components(
     pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:

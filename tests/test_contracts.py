@@ -70,6 +70,7 @@ def _pairs():
     for name, gen in (
         ("ann_lsh_topk", cp._sql_ann_lsh),
         ("ann_ivf_topk", cp._sql_ann_ivf),
+        ("dedup_embedding", cp._sql_dedup_embedding),
     ):
         if name in o:
             o[name] = gen(SF_DIR)
