@@ -325,6 +325,48 @@ LIMIT 20
 )
 
 
+def q_streaming_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest twin of the docs_table contract: the corpus
+    arrives through readStream -> exactly-once staging ->
+    StreamingIndexer.advance(final=True); the resulting docs table (dense
+    ids + sha256) must hash-match the same SQL oracle shape the batch
+    build satisfies (single-wave arrival => arrival order == sort
+    order)."""
+    import shutil
+
+    from search_engine_spark.streaming import StreamingIndexer
+
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.sha256(f"{key}|stream|v1".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"se_stream_{tag}")
+    index_dir = os.path.join(base, "idx")
+    indexer = StreamingIndexer(
+        spark, index_dir, os.path.join(base, "stg"), CONTRACT_CONFIG
+    )
+    if not os.path.isdir(os.path.join(index_dir, "stats")):
+        shutil.rmtree(base, ignore_errors=True)
+        src = os.path.join(base, "arrivals")
+        corpus_from_documents(spark, sf_dir).write.mode("overwrite").parquet(
+            src
+        )
+        from search_engine_spark.sources.corpus import CORPUS_SCHEMA
+
+        stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+        indexer.start(stream, available_now=True)
+        indexer.advance(final=True)
+    return indexer.builder.store.read_docs().select(
+        "doc_id", "path", "sha256"
+    )
+
+
+SQL_STREAMING_DOCS = """
+SELECT doc_id,
+       printf('p%012d.txt', doc_id) AS path,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
 def q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic+traditional blend (Q26): ANN cosine candidates -> BM25
     features + seeded MLP -> min-max blend cos_norm + (e^mlp_norm - 1).
@@ -347,6 +389,7 @@ def q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_QUERIES = {
+    "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
     "search_semantic_topk": (q_search_semantic, None),
     "docs_table": (q_docs_table, SQL_DOCS_TABLE),
     "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
