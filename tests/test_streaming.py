@@ -109,3 +109,77 @@ def test_streaming_ingest_matches_batch_build(spark, tmp_path):
         spark.createDataFrame(all_rows, schema=schema)
     )
     assert res == {"rows": 150, "missing": 0, "sha_mismatch": 0}
+
+
+def test_streaming_many_small_waves(spark, tmp_path):
+    """Waves smaller than a chunk accumulate in staging until a chunk
+    boundary is crossed; lineage batches stay chunk-aligned throughout."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=100, seed=11)
+    # arrival prefix a0 < a1 < a2 keeps arrival order == sort order
+    waves = [
+        [dict(r, repo=f"a{w}-" + r["repo"]) for r in rows[w * 33:(w + 1) * 33]]
+        for w in range(3)
+    ]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    cols = ["repo", "path", "commit", "lang", "content"]
+    seen = 0
+    for w, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema=schema).select(*cols).write.mode(
+            "append"
+        ).parquet(src)
+        indexer.start(
+            spark.readStream.schema(schema).parquet(src), available_now=True
+        )
+        r = indexer.advance()
+        seen += len(wave)
+        assert r["num_docs"] == (seen // 64) * 64
+        assert r["num_docs"] + r["staged_tail"] == seen
+    r = indexer.advance(final=True)
+    assert r["num_docs"] == 99
+    eng = SearchEngine(spark, str(tmp_path / "idx"), CFG)
+    all_sorted = sorted(
+        (row for wave in waves for row in wave),
+        key=lambda x: (x["repo"], x["path"], x["commit"]),
+    )
+    oracle = RefSemIndex(corpus_to_tokens(all_sorted))
+    _n, ref = oracle.search_text("zqmerge", SearchMode.AND)
+    assert _ranked(eng, "zqmerge", SearchMode.AND) == [
+        (d, pytest.approx(s, rel=1e-9)) for s, d in ref
+    ]
+
+
+def test_streaming_torn_increment_detected(spark, tmp_path):
+    """A docs-table append without its lineage commit (torn increment)
+    must be detected on the next advance, not silently re-numbered."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=80, seed=13)
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    cols = ["repo", "path", "commit", "lang", "content"]
+    spark.createDataFrame(rows, schema=schema).select(*cols).write.parquet(src)
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    indexer.start(
+        spark.readStream.schema(schema).parquet(src), available_now=True
+    )
+    assert indexer.advance()["indexed"] == 64
+    # simulate the torn state: extra docs rows, no lineage for them
+    store = indexer.builder.store
+    extra = store.read_docs().limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    extra.write.mode("append").parquet(store.docs_path)
+    with pytest.raises(RuntimeError, match="torn"):
+        indexer.advance(final=True)
