@@ -370,8 +370,13 @@ class SearchEngine:
 
         # --- un-pruned per-token plan: every query token keeps a tf
         # column and its raw idf (df=0 -> ln((N+0.5)/0.5)); the tree is
-        # irrelevant — candidates are fixed by the ANN stage
+        # irrelevant — candidates are fixed by the ANN stage.  The OOV
+        # spelling funnel still applies when enabled: the reference's
+        # get_docs corrects misses even with enable_threshold=False
+        # (inverted_index.py:1097-1115)
         tokens = self._tokenize(query)
+        if self.config.enable_spelling:
+            tokens = self._correct_tokens(tokens, SearchMode.QUERY_EVALUATOR)
         dfs = self.store.term_stats_for(tokens)
         num_docs = int(self.stats["num_docs"])
         plan = CompiledQuery(

@@ -168,6 +168,37 @@ def test_rerank_plan_has_no_driver_collect(setup, monkeypatch):
     assert len(df.collect()) > 0
 
 
+def test_semantic_mode_applies_spelling_funnel(setup, tmp_path):
+    """Semantic search corrects OOV tokens like the reference's get_docs
+    does even with the IDF threshold disabled (inverted_index.py:
+    1097-1115): typo query == corrected query, candidates fixed."""
+    from search_engine_spark.pipeline import embeddings as embmod
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    docs = engine.store.read_docs().select("doc_id", "path")
+    emb = embmod.embed_pipeline(
+        docs, id_col="doc_id", body_col="path", model_dim=16,
+        truncate_dim=8,
+    ).withColumnRenamed("id", "vec_id").cache()
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    a = engine.semantic_search(
+        "zqmrge", qvec, embeddings=emb, num_semantic_candidates=20,
+        num_return=5,
+    ).collect()
+    from search_engine_spark.query.spelling import SpellingCorrector
+
+    fixed = SpellingCorrector(engine.spark, engine.store).correct("zqmrge")
+    b = engine.semantic_search(
+        fixed, qvec, embeddings=emb, num_semantic_candidates=20,
+        num_return=5,
+    ).collect()
+    key = lambda r: r.rank
+    assert [(r.doc_id, r.score) for r in sorted(a, key=key)] == [
+        (r.doc_id, r.score) for r in sorted(b, key=key)
+    ]
+
+
 def test_bm25_all_empty_titles_guard():
     """avg_title_len == 0 (all-empty-title corpus) must not NaN scores."""
     from search_engine_spark.functions.bm25 import fielded_bm25
