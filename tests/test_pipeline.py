@@ -66,6 +66,47 @@ def test_lsh_is_subset_of_bucket_scored_exactly(emb, lsh_index):
         assert r.cos == pytest.approx(exact[r.id], rel=1e-12)
 
 
+def test_assigners_match_expression_specification(emb):
+    """The in-batch numpy bucket/cell assigners must be bit-identical to
+    the JVM expression forms they replaced (lsh_bucket_col /
+    ivf_assign_col — the specification the SQL oracles derive from)."""
+    import numpy as np
+
+    sub = emb.limit(120)
+    planes = similarity.hyperplanes(64, 4, 11)
+    expr = {
+        r.vec_id: r.b
+        for r in sub.withColumn(
+            "b", similarity.lsh_bucket_col(F.col("embedding"), planes)
+        ).select("vec_id", "b").collect()
+    }
+    batch = {
+        r.vec_id: r.b2
+        for r in similarity._with_assignment(
+            sub, planes, "lsh", "embedding", "b2"
+        ).select("vec_id", "b2").collect()
+    }
+    assert expr == batch
+    sample = np.array(
+        [[float(v) for v in r.embedding]
+         for r in sub.orderBy("vec_id").collect()]
+    )
+    cents = similarity.kmeans_centroids(sample, 8, seed=11)
+    expr_c = {
+        r.vec_id: r.c
+        for r in sub.withColumn(
+            "c", similarity.ivf_assign_col(F.col("embedding"), cents)
+        ).select("vec_id", "c").collect()
+    }
+    batch_c = {
+        r.vec_id: r.c2
+        for r in similarity._with_assignment(
+            sub, cents, "ivf", "embedding", "c2"
+        ).select("vec_id", "c2").collect()
+    }
+    assert expr_c == batch_c
+
+
 def _partition_filter_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
