@@ -459,6 +459,10 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "query_p50_sec": detail["query_p50_sec"],
         "query_p99_sec": detail["query_p99_sec"],
+        # N-vs-4N scaling efficiency is measured by `bench.py --scaling`
+        # (long run, 1.28M docs); the per-round artifacts live in
+        # bench_runs/ and are tabulated in BASELINE.md
+        "scaling_evidence": "bench_runs/*.json + BASELINE.md (run: python bench.py --scaling)",
         "detail": detail,
     }
     print(json.dumps(result))

@@ -55,6 +55,18 @@ def load_corpus_csv(
     )
 
 
+def load_corpus_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Corpus from JSON-lines (one object per document with the canonical
+    field names).  Schema is pinned, not inferred — a 10^12-file
+    inference pass would be its own job, and drifting field types would
+    silently corrupt doc-id assignment."""
+    return (
+        spark.read.schema(CORPUS_SCHEMA)
+        .json(path)
+        .select("repo", "path", "commit", "lang", "content")
+    )
+
+
 def assign_doc_ids(
     corpus: DataFrame, n_partitions: int | None = None
 ) -> DataFrame:

@@ -245,3 +245,26 @@ def test_csv_corpus_source_round_trips(spark, tmp_path):
     assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
         d_ for _s, d_ in ref
     ]
+
+
+def test_jsonl_corpus_source_round_trips(spark, tmp_path):
+    """JSONL corpus loads into the canonical shape and builds an index
+    identical to the in-memory corpus (pinned schema, no inference)."""
+    import json as _json
+
+    from search_engine_spark.sources.corpus import load_corpus_jsonl
+
+    rows = synth_corpus(n_docs=40, seed=23)
+    jdir = tmp_path / "jsonl"
+    jdir.mkdir()
+    with open(jdir / "part-0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    loaded = load_corpus_jsonl(spark, str(jdir))
+    assert loaded.count() == 40
+    src = spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    assert {tuple(r) for r in loaded.collect()} == {
+        tuple(r) for r in src.collect()
+    }
