@@ -298,6 +298,18 @@ class LshIndex:
     def table(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "table"))
 
+    def append(self, emb: DataFrame) -> None:
+        """Fold newly arrived embeddings into the index: assignment with
+        the PERSISTED hyperplanes, appended into the existing bucket
+        partitions — O(increment), no rebuild, probes see old+new rows
+        (the streaming-ingest companion for the ANN side)."""
+        (
+            _with_assignment(emb, self.planes, "lsh", self.emb_col, "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.path, "table"))
+        )
+
     def topk(
         self, query_vec: list[float], k: int = 10, probe_hamming: int = 1
     ) -> DataFrame:
@@ -375,6 +387,19 @@ class IvfIndex:
 
     def table(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "table"))
+
+    def append(self, emb: DataFrame) -> None:
+        """Assign new embeddings to the FROZEN centroids and append into
+        the existing cell partitions — O(increment).  The quantizer is
+        not retrained (retraining would reshuffle every existing row's
+        cell); rebuild periodically if the data distribution drifts."""
+        (
+            _with_assignment(emb, self.centroids, "ivf", self.emb_col,
+                             "ivf_cell")
+            .write.mode("append")
+            .partitionBy("ivf_cell")
+            .parquet(os.path.join(self.path, "table"))
+        )
 
     def probe_cells(self, query_vec: list[float], nprobe: int = 4) -> list[int]:
         qv = np.asarray(query_vec, dtype=np.float64)

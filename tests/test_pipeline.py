@@ -132,6 +132,33 @@ def test_ivf_scan_is_partition_pruned(emb, ivf_index):
     assert "ivf_cell" in plan
 
 
+def test_ann_index_append_incremental(spark, emb, tmp_path_factory):
+    """append() folds new vectors into the existing partitions with the
+    persisted quantizer: an incrementally-built index returns exactly
+    what a one-shot build over the union returns."""
+    first = emb.where(F.col("vec_id") < 300)
+    rest = emb.where(F.col("vec_id") >= 300)
+    inc = similarity.LshIndex.build(
+        first, str(tmp_path_factory.mktemp("lshinc"))
+    )
+    inc.append(rest)
+    full = similarity.LshIndex.build(
+        emb, str(tmp_path_factory.mktemp("lshfull"))
+    )
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 350).head()["embedding"]]
+    a = [(r.id, r.cos) for r in inc.topk(qvec, k=10).collect()]
+    b = [(r.id, r.cos) for r in full.topk(qvec, k=10).collect()]
+    assert a == b
+    assert inc.table().count() == 500
+    ivf = similarity.IvfIndex.build(
+        first, str(tmp_path_factory.mktemp("ivfinc"))
+    )
+    ivf.append(rest)
+    assert ivf.table().count() == 500
+    got = {r.id for r in ivf.topk(qvec, k=10).collect()}
+    assert 350 in got  # the query vector itself arrived via append
+
+
 def test_lsh_index_reopen_identical(spark, emb, lsh_index):
     """open() must reproduce build()'s results exactly (planes persisted)."""
     qvec = [float(v) for v in emb.where(F.col("vec_id") == 4).head()["embedding"]]
