@@ -366,7 +366,10 @@ class SearchEngine:
             )
         else:  # pragma: no cover
             raise ValueError("pass embeddings or ann_index")
-        cand = cand.select(F.col("id").alias("doc_id"), "cos")
+        # the candidate set is tiny (<= num_semantic_candidates rows) but
+        # referenced twice (feature broadcast + blend join) — materialize
+        # once instead of re-running the ANN scan
+        cand = cand.select(F.col("id").alias("doc_id"), "cos").localCheckpoint()
 
         # --- un-pruned per-token plan: every query token keeps a tf
         # column and its raw idf (df=0 -> ln((N+0.5)/0.5)); the tree is
