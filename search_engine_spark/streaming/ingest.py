@@ -101,6 +101,10 @@ class StreamingIndexer:
         count gate detects a torn docs append on the next call."""
         cfg = self.config
         store = self.builder.store
+        if not os.path.isdir(self.corpus_dir):
+            # nothing staged yet (start() never ran or the stream was empty)
+            n = self._lineage_doc_count()
+            return {"indexed": 0, "staged_tail": 0, "num_docs": n}
         staged = self.staged_corpus()
 
         if os.path.isdir(store.docs_path):

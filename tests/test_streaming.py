@@ -183,3 +183,12 @@ def test_streaming_torn_increment_detected(spark, tmp_path):
     extra.write.mode("append").parquet(store.docs_path)
     with pytest.raises(RuntimeError, match="torn"):
         indexer.advance(final=True)
+
+
+def test_advance_before_any_staging_is_noop(spark, tmp_path):
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    assert indexer.advance() == {
+        "indexed": 0, "staged_tail": 0, "num_docs": 0,
+    }
