@@ -146,6 +146,12 @@ def make_features_kernel(
         out_q, out_d, out_s = [], [], []
         for qid, cand_list in cand_lists.items():
             cand = np.array(sorted(cand_list), dtype=np.int64)
+            # candidates must be docs of THIS chunk; ids outside the
+            # indexed corpus (e.g. a semantic query against an embeddings
+            # table larger than the index) are dropped, not crashed on
+            cand = cand[_membership(chunk.doc_ids, cand) >= 0]
+            if cand.size == 0:
+                continue
             feats = chunk_features(
                 plan_by_qid[qid], cand, terms, chunk, stats, k1, b,
                 title_weight,

@@ -138,6 +138,24 @@ def test_semantic_blend_matches_numpy_oracle(setup):
             assert r.score == pytest.approx(s, rel=1e-9, abs=1e-12), query
 
 
+def test_semantic_candidates_beyond_corpus_are_dropped(setup, spark):
+    """An embeddings table with ids past the indexed corpus must not
+    crash the feature kernel — unknown candidates are dropped."""
+    from pyspark.sql import functions as F
+
+    engine, _oracle, emb, emb_np = setup
+    beyond = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = emb.unionByName(beyond)
+    qvec = [float(v) for v in emb_np[0]]
+    got = engine.semantic_search(
+        "zqmerge", qvec, embeddings=both, num_semantic_candidates=40,
+        num_return=10,
+    ).collect()
+    assert 0 < len(got) <= 10
+    n_docs = int(engine.stats["num_docs"])
+    assert all(r.doc_id < n_docs for r in got)
+
+
 def test_semantic_with_materialized_ann_index(setup, tmp_path_factory):
     """The ANN-index path returns the same rows as brute force when the
     probed buckets cover the true top-k (exact re-score inside)."""
