@@ -30,15 +30,30 @@ from search_engine_spark.query.kernels import RESULT_SCHEMA, make_query_kernel
 from search_engine_spark.query.plan import CompiledQuery, EMPTY, compile_query
 from search_engine_spark.sources.index_store import IndexStore, term_bucket
 
-def _per_qid_limit(n_return: dict[int, int]):
-    """Rank-limit expression honouring each query's own ``num_return`` in a
-    heterogeneous batch (a single global max would hand small-k queries the
-    large-k row count).  Uniform batches stay a plain literal."""
+def _apply_per_qid_limit(
+    ranked: DataFrame, n_return: dict[int, int]
+) -> DataFrame:
+    """Filter ``rank <= num_return[qid]`` honouring each query's own k in
+    a heterogeneous batch (a single global max would hand small-k queries
+    the large-k row count).  Uniform batches stay a plain literal;
+    moderate batches use a map expression; large offline batches
+    broadcast-join a (qid, k) lookup instead of growing a
+    thousands-of-literals expression."""
     ns = set(n_return.values())
     if len(ns) == 1:
-        return F.lit(ns.pop())
-    pairs = [F.lit(x) for q, n in n_return.items() for x in (q, n)]
-    return F.element_at(F.create_map(*pairs), F.col("qid"))
+        return ranked.where(F.col("rank") <= F.lit(ns.pop()))
+    if len(n_return) <= 64:
+        pairs = [F.lit(x) for q, n in n_return.items() for x in (q, n)]
+        limit = F.element_at(F.create_map(*pairs), F.col("qid"))
+        return ranked.where(F.col("rank") <= limit)
+    lookup = ranked.sparkSession.createDataFrame(
+        list(n_return.items()), "qid int, _n int"
+    )
+    return (
+        ranked.join(F.broadcast(lookup), "qid")
+        .where(F.col("rank") <= F.col("_n"))
+        .drop("_n")
+    )
 
 
 _BASE_COLS = ["term", "chunk_id", "df", "doc_ids", "tfs_body", "tfs_title"]
@@ -198,7 +213,7 @@ class SearchEngine:
             )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = per_chunk.withColumn("rank", F.row_number().over(w))
-        return ranked.where(F.col("rank") <= _per_qid_limit(n_return))
+        return _apply_per_qid_limit(ranked, n_return)
 
     def search(
         self,
@@ -322,10 +337,9 @@ class SearchEngine:
             F.desc("mlp_score"), F.asc("doc_id")
         )
         n_return = {p.qid: p.num_return for p in live}
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= _per_qid_limit(n_return))
-            .withColumnRenamed("mlp_score", "score")
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+        return _apply_per_qid_limit(ranked, n_return).withColumnRenamed(
+            "mlp_score", "score"
         )
 
     def semantic_search(

@@ -137,6 +137,30 @@ def test_mixed_num_return_batch(setup):
     _assert_rank_identical(by_qid[1], ref1, "k=15")
 
 
+def test_large_heterogeneous_batch_uses_join_limit(setup):
+    """>64 distinct qids exercises the broadcast-join per-qid limit path
+    (the map-literal expression would otherwise grow with the batch)."""
+    engine, _oracle = setup
+    plans = [
+        engine.compile("zqmerge zqshard", SearchMode.OR, qid=q,
+                       num_return=1 + (q % 7))
+        for q in range(70)
+    ]
+    rows = engine.execute(plans).collect()
+    by_qid: dict[int, int] = {}
+    for r in rows:
+        by_qid[r.qid] = by_qid.get(r.qid, 0) + 1
+    assert len(by_qid) == 70
+    for q, n in by_qid.items():
+        assert n <= 1 + (q % 7), (q, n)
+    # same per-query content as a solo run
+    solo = engine.execute([plans[13]]).collect()
+    batch13 = sorted(
+        ((r.rank, r.doc_id) for r in rows if r.qid == 13)
+    )
+    assert batch13 == sorted((r.rank, r.doc_id) for r in solo)
+
+
 def test_num_return_above_default_candidates(setup):
     """num_return > num_candidates must widen the candidate pool, not
     silently truncate the top-k at num_candidates (ADVICE plan.py:244)."""
