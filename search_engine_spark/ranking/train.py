@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from search_engine_spark.pipeline.dataset import FEATURE_COLUMNS, TARGET_RANKS
+from search_engine_spark.pipeline.dataset import FEATURE_COLUMNS
 from search_engine_spark.ranking.metrics import mrr, ndcg
 from search_engine_spark.ranking.model import RankingModel
 
