@@ -46,6 +46,7 @@ def cmd_build(args: argparse.Namespace) -> None:
         chunk_docs=args.chunk_docs,
         chunks_per_batch=args.chunks_per_batch,
         n_term_buckets=args.term_buckets,
+        idf_threshold=args.idf_threshold,
     )
     corpus = spark.read.parquet(args.corpus)
     builder = IndexBuilder(spark, args.index, cfg)
@@ -85,6 +86,11 @@ def cmd_search(args: argparse.Namespace) -> None:
     engine = SearchEngine(spark, args.index, cfg)
     mode = SearchMode[args.mode]
     t0 = time.time()
+    model = None
+    if args.model:
+        from search_engine_spark.ranking.model import RankingModel
+
+        model = RankingModel.load(args.model)
     if mode == SearchMode.SEMANTIC:
         if not args.embeddings:
             raise SystemExit("--mode SEMANTIC requires --embeddings")
@@ -114,10 +120,12 @@ def cmd_search(args: argparse.Namespace) -> None:
             args.query, qvec, embeddings=emb.select(
                 F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
             ),
-            num_return=args.k,
+            num_return=args.k, model=model,
         )
     elif args.rerank:
-        ranked = engine.search_reranked(args.query, mode, num_return=args.k)
+        ranked = engine.search_reranked(
+            args.query, mode, num_return=args.k, model=model
+        )
     else:
         ranked = engine.search(args.query, mode, num_return=args.k)
     out = engine.with_doc_info(ranked).collect()
@@ -184,16 +192,32 @@ def cmd_make_dataset(args: argparse.Namespace) -> None:
         F.col(args.title_col).alias("title"),
         F.col(args.body_col).alias("body"),
     )
-    piv = ds.rank_pivot(ds.synth_top100(docs0))
-    labeled = ds.with_row_index(
-        ds.label_matches(
-            ds.join_train(docs, ds.synth_qrels(docs0),
-                          ds.synth_queries(docs0))
-            .join(F.broadcast(piv), "queryid"),
-            [str(r) for r in ds.TARGET_RANKS],
-        ),
-        ["queryid"],
+    if args.index:
+        # mine the candidate rankings from the engine's own BM25 run
+        # (the provenance the reference's top100 TSV has) — with IDF
+        # pruning disabled: candidate mining needs full retrieval depth
+        from search_engine_spark.config import EngineConfig
+        from search_engine_spark.query.engine import SearchEngine
+
+        engine = SearchEngine(
+            spark, args.index, EngineConfig(idf_threshold=-1.0e18)
+        )
+        top100 = ds.top100_from_engine(engine, ds.synth_queries(docs0))
+    else:
+        top100 = ds.synth_top100(docs0)
+    piv = ds.rank_pivot(top100)
+    target = [str(r) for r in ds.TARGET_RANKS]
+    labeled = ds.label_matches(
+        ds.join_train(docs, ds.synth_qrels(docs0), ds.synth_queries(docs0))
+        .join(F.broadcast(piv), "queryid"),
+        target,
     )
+    # queries with fewer than 100 retrieved candidates have null rank
+    # cells; the reference's per-rank inner joins drop such examples —
+    # same here (only bites engine-mined top100 with rare-term queries)
+    for c in target:
+        labeled = labeled.where(F.col(f"`{c}`").isNotNull())
+    labeled = ds.with_row_index(labeled, ["queryid"])
     r = docs.agg(
         F.sum(F.size(ds.tokens_col("body"))).alias("sb"),
         F.sum(F.size(ds.tokens_col("title"))).alias("st"),
@@ -261,6 +285,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--chunk-docs", type=int, default=1 << 17)
     b.add_argument("--chunks-per-batch", type=int, default=64)
     b.add_argument("--term-buckets", type=int, default=32)
+    b.add_argument("--idf-threshold", type=float, default=1.5,
+                   help="low-IDF term pruning threshold (reference 1.5); "
+                        "pass -1e18 to disable")
     b.add_argument("--max-batches", type=int, default=None)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--trigrams", action="store_true")
@@ -283,6 +310,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--query-vec-id", type=int, default=None,
                    help="use a stored vector as the query embedding")
     s.add_argument("--model-dim", type=int, default=64)
+    s.add_argument("--model", default=None,
+                   help="trained re-ranker weights (.npz from make-dataset --train)")
     s.set_defaults(fn=cmd_search)
 
     e = sub.add_parser("embed", help="embedding ingestion (B13)")
@@ -315,6 +344,9 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--title-col", default="source")
     d.add_argument("--body-col", default="text")
+    d.add_argument("--index", default=None,
+                   help="mine top100 candidates from this index's BM25 run "
+                        "instead of the hash-synthetic ranking")
     d.add_argument("--train", action="store_true")
     d.add_argument("--epochs", type=int, default=25)
     d.add_argument("--lr", type=float, default=5e-4)

@@ -454,6 +454,42 @@ def synth_qrels(docs: DataFrame, every: int = 10) -> DataFrame:
     )
 
 
+def top100_from_engine(
+    engine,
+    queries: DataFrame,
+    n_cand: int = 100,
+    mode=None,
+) -> DataFrame:
+    """Candidate rankings mined from the engine's own BM25 retrieval —
+    the provenance the reference's top100 TSV has (an upstream ranked
+    run).  One batched job for all queries; output shape matches
+    :func:`synth_top100` (queryid, rank, docid, score).
+
+    The queries table is collected (it is qrels-sized, not corpus-sized)
+    and dispatched through ``search_batch`` so every query shares one
+    postings scan."""
+    from search_engine_spark.plans.parser import SearchMode
+
+    mode = mode or SearchMode.OR
+    rows = queries.select("queryid", "query").collect()
+    qids = [int(r.queryid) for r in rows]
+    ranked = engine.search_batch(
+        [(r.query, mode) for r in rows], num_return=n_cand
+    )
+    mapping = engine.spark.createDataFrame(
+        list(enumerate(qids)), "qid int, queryid long"
+    )
+    return (
+        ranked.join(F.broadcast(mapping), "qid")
+        .select(
+            "queryid",
+            F.col("rank"),
+            F.col("doc_id").alias("docid"),
+            F.col("score"),
+        )
+    )
+
+
 def synth_top100(docs: DataFrame, every: int = 10, n_cand: int = 100) -> DataFrame:
     """Deterministic ranked candidate list per query: docid =
     (queryid*7 + 13*rank) mod N (13 coprime to the corpus sizes in play →

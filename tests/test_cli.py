@@ -106,6 +106,55 @@ def test_cli_make_dataset_train(ws, capsys):
     assert os.path.isdir(os.path.join(out_dir, "train-split.parquet"))
 
 
+def test_cli_make_dataset_engine_mined_and_trained_serving(ws, capsys):
+    """Full loop: candidates mined from the index's own BM25 run ->
+    trained weights -> served via search --rerank --model."""
+    spark, base, _corpus_path = ws
+    # a bigger unpruned index: queries must be able to reach 100
+    # candidates for the full 12-rank pivot to survive the null filter
+    big_corpus = str(base / "corpus_big.parquet")
+    spark.createDataFrame(synth_corpus(n_docs=160, seed=41)).write.mode(
+        "overwrite"
+    ).parquet(big_corpus)
+    idx = str(base / "idx_unpruned")
+    _run(capsys, [
+        "build", "--corpus", big_corpus, "--index", idx,
+        "--chunk-docs", "64", "--chunks-per-batch", "2",
+        "--term-buckets", "8", "--idf-threshold=-1e18",
+    ])
+    # docs table derived from the same corpus the index was built on,
+    # so mined candidate doc ids line up with qrels doc ids
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.config import EngineConfig
+
+    eng = SearchEngine(spark, idx, EngineConfig())
+    docs_tbl = str(base / "docs_from_idx.parquet")
+    corpus = spark.read.parquet(big_corpus)
+    (
+        eng.store.read_docs()
+        .join(corpus, ["repo", "path", "commit"])
+        .select(
+            "doc_id", F.col("content").alias("text"),
+            F.col("path").alias("source"),
+        )
+        .write.parquet(docs_tbl)
+    )
+    out_dir = str(base / "dataset_mined")
+    out = _run(capsys, [
+        "make-dataset", "--documents", docs_tbl, "--output", out_dir,
+        "--index", idx, "--train", "--epochs", "2",
+    ])
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["train"] + summary["val"] + summary["test"] >= 1
+    weights = os.path.join(out_dir, "ranking_model.npz")
+    assert os.path.exists(weights)
+    out = _run(capsys, [
+        "search", "--index", idx, "--query", "zqmerge zqshard",
+        "--mode", "OR", "--rerank", "--model", weights, "--k", "5",
+    ])
+    assert len([l for l in out.splitlines() if l.strip()]) >= 1
+
+
 def test_cli_stream_ingest(ws, capsys):
     spark, base, _corpus = ws
     src = str(base / "arrivals")
