@@ -367,12 +367,25 @@ FROM documents
 """
 
 
+# Contract-sized MLP head: same seeded-He architecture and forward path as
+# the production default (hidden=256), shrunk so the oracle SQL can inline
+# every weight as a literal (10x16 + 16x16 + 16x1 = 448 doubles).
+SEMANTIC_HIDDEN = 16
+SEMANTIC_SEED = 17
+SEMANTIC_QUERY = "dup small"
+SEMANTIC_CANDIDATES = 50
+SEMANTIC_RETURN = 10
+
+
 def q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic+traditional blend (Q26): ANN cosine candidates -> BM25
-    features + seeded MLP -> min-max blend cos_norm + (e^mlp_norm - 1).
-    Rows-only contract (the MLP head is not SQL-expressible); the blend
-    math is rank-identity-tested against a numpy oracle in
-    tests/test_semantic.py."""
+    """Semantic+traditional blend (Q26, ``inverted_index.py:1478-1619``):
+    ANN cosine candidates -> un-pruned BM25 features + seeded MLP ->
+    min-max blend ``cos_norm + (e^mlp_norm - 1)``.  Full hash contract:
+    the DuckDB oracle (:func:`_sql_search_semantic`) replicates the whole
+    computation — cosine top-k, 10-dim feature extraction, MLP forward
+    with inlined weights, blend and rank."""
+    from search_engine_spark.ranking.model import RankingModel
+
     engine = get_engine(spark, sf_dir)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = [
@@ -380,17 +393,189 @@ def q_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in emb.where(F.col("vec_id") == 0).head()["embedding"]
     ]
     out = engine.semantic_search(
-        "dup small", qvec, embeddings=emb,
-        num_semantic_candidates=50, num_return=10,
+        SEMANTIC_QUERY, qvec, embeddings=emb,
+        num_semantic_candidates=SEMANTIC_CANDIDATES,
+        num_return=SEMANTIC_RETURN,
+        model=RankingModel.seeded(hidden=SEMANTIC_HIDDEN, seed=SEMANTIC_SEED),
     )
     return out.select(
         "doc_id", F.round(F.col("score"), 6).alias("score"), "rank"
     )
 
 
+def _mlp_layer_sql(
+    in_names: list[str], w, b, out_prefix: str, relu: bool
+) -> list[str]:
+    """SQL exprs for one dense layer: left-to-right k-order product chain
+    (mirrors the numpy ``x @ w + b`` accumulation), optional ReLU."""
+    exprs = []
+    for j in range(w.shape[1]):
+        chain = " + ".join(
+            f"{in_names[i]} * {float(w[i, j])!r}" for i in range(w.shape[0])
+        )
+        body = f"({chain} + {float(b[j])!r})"
+        if relu:
+            body = f"greatest({body}, 0.0)"
+        exprs.append(f"{body} AS {out_prefix}{j}")
+    return exprs
+
+
+def _sql_search_semantic(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """DuckDB twin of :func:`q_search_semantic` over the same parquet.
+
+    The query vector and MLP weights are deterministic constants (vec_id 0
+    embedding; He-init with a fixed seed) inlined as literals, like the
+    ANN quantizer oracles.  Title-field features collapse to constants for
+    this corpus (titles are ``p%012d.txt``, never containing the query
+    terms): title bm25 = 0, title first-occurrence = sentinel 1.0,
+    title_len/max_title_len = 1.0, in_title = 0.
+    """
+    try:
+        from search_engine_spark.pipeline.contracts_pipeline import (
+            _cos_sql,
+            _load_oracle_embeddings,
+        )
+
+        embs = _load_oracle_embeddings(sf_dir)
+    except Exception:  # embeddings table absent -> rows-only fallback
+        return None
+    from search_engine_spark.functions.tokenizer import simple_tokenize
+    from search_engine_spark.ranking.model import RankingModel
+
+    qvec = [float(v) for v in embs[0]]
+    m = RankingModel.seeded(hidden=SEMANTIC_HIDDEN, seed=SEMANTIC_SEED)
+    tokens = simple_tokenize(SEMANTIC_QUERY)
+
+    # per-token base columns: tf, idf (df=0 -> ln((N+0.5)/0.5)), first-
+    # occurrence fraction (0-based first position / doc_len, sentinel 1.0)
+    base_cols, w_cols = [], []
+    for i, t in enumerate(tokens):
+        base_cols.append(
+            f"COALESCE((SELECT tf FROM tf WHERE tf.doc_id = c.doc_id"
+            f" AND tf.tok = '{t}'), 0)::DOUBLE AS tf{i}"
+        )
+        base_cols.append(
+            f"COALESCE((SELECT ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+            f" FROM dfs WHERE dfs.tok = '{t}'),"
+            f" ln((st.n + 0.5) / 0.5)) AS idf{i}"
+        )
+        base_cols.append(
+            f"CASE WHEN COALESCE((SELECT tf FROM tf WHERE tf.doc_id ="
+            f" c.doc_id AND tf.tok = '{t}'), 0) > 0"
+            f" THEN (list_position(d.l, '{t}') - 1)::DOUBLE / d.dl"
+            f" ELSE 1.0 END AS fo{i}"
+        )
+        w_cols.append(
+            f"(tf{i} / ((1.0 - {B}) + {B} * (dl / avgdl))) AS w{i}"
+        )
+
+    def chain(parts: list[str]) -> str:
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"({out} + {p})"
+        return out
+
+    contribs = [
+        f"(idf{i} * (w{i} * ({K1} + 1.0)) / (w{i} + {K1}))"
+        for i in range(len(tokens))
+    ]
+    bm25 = chain(contribs)
+    fo_mean = (
+        "(" + " + ".join(f"fo{i}" for i in range(len(tokens)))
+        + f") / {float(len(tokens))!r}"
+    )
+    fo_min = "least(" + ", ".join(
+        f"fo{i}" for i in range(len(tokens))
+    ) + ")"
+
+    feat_cols = [
+        f"{bm25} AS f0",          # fielded bm25 (title weight side is 0)
+        f"{bm25} AS f1",          # body bm25
+        "0.0 AS f2",              # title bm25
+        f"{fo_mean} AS f3",       # body first-occurrence mean
+        "1.0 AS f4",              # title first-occurrence mean (sentinel)
+        f"{fo_min} AS f5",        # body first-occurrence min
+        "1.0 AS f6",              # title first-occurrence min (sentinel)
+        "(dl / maxdl) AS f7",     # doc_len / max_doc_len
+        "1.0 AS f8",              # title_len / max_title_len (= 2/2)
+        "0.0 AS f9",              # in_title
+    ]
+    h1 = _mlp_layer_sql(
+        [f"f{i}" for i in range(10)], m.w["w1"], m.w["b1"], "h1_", True
+    )
+    h2 = _mlp_layer_sql(
+        [f"h1_{i}" for i in range(SEMANTIC_HIDDEN)],
+        m.w["w2"], m.w["b2"], "h2_", True,
+    )
+    out = _mlp_layer_sql(
+        [f"h2_{i}" for i in range(SEMANTIC_HIDDEN)],
+        m.w["w3"], m.w["b3"], "mlp_", False,
+    )[0].replace("AS mlp_0", "AS mlp_score")
+    qlit = "[" + ", ".join(repr(float(v)) for v in qvec) + "]::DOUBLE[]"
+
+    return f"""
+WITH q AS (SELECT {qlit} AS qv),
+cand AS (
+  SELECT e.vec_id AS doc_id, {_cos_sql(qvec)} AS cos
+  FROM embeddings e, q
+  ORDER BY cos DESC, e.vec_id
+  LIMIT {SEMANTIC_CANDIDATES}
+),
+tokl AS (
+  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+),
+dl AS (SELECT doc_id, l, len(l)::DOUBLE AS dl FROM tokl),
+st AS (SELECT count(*)::BIGINT AS n,
+              sum(len(l))::DOUBLE / count(*) AS avgdl,
+              max(len(l))::DOUBLE AS maxdl
+       FROM tokl),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM tokl),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM flat
+  WHERE tok IN ({", ".join(repr(t) for t in tokens)})
+  GROUP BY doc_id, tok
+),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+base AS (
+  SELECT c.doc_id, c.cos, d.dl, st.avgdl, st.maxdl,
+         {", ".join(base_cols)}
+  FROM cand c JOIN dl d ON d.doc_id = c.doc_id, st
+),
+wts AS (
+  SELECT *, {", ".join(w_cols)} FROM base
+),
+feat AS (
+  SELECT doc_id, cos, {", ".join(feat_cols)} FROM wts
+),
+h1 AS (SELECT doc_id, cos, {", ".join(h1)} FROM feat),
+h2 AS (SELECT doc_id, cos, {", ".join(h2)} FROM h1),
+mlp AS (SELECT doc_id, cos, {out} FROM h2),
+mm AS (
+  SELECT min(cos) AS cmin, max(cos) AS cmax,
+         min(mlp_score) AS mmin, max(mlp_score) AS mmax
+  FROM mlp
+),
+blend AS (
+  SELECT m.doc_id, m.cos,
+         ((m.cos - mm.cmin) / ((mm.cmax - mm.cmin) + 1e-08))
+         + (exp((m.mlp_score - mm.mmin) / ((mm.mmax - mm.mmin) + 1e-08))
+            - 1.0) AS score
+  FROM mlp m, mm
+)
+SELECT doc_id, round(score, 6)::DOUBLE AS score,
+       row_number() OVER (ORDER BY score DESC, cos DESC, doc_id)::INT
+         AS rank
+FROM blend
+ORDER BY rank
+LIMIT {SEMANTIC_RETURN}
+"""
+
+
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
-    "search_semantic_topk": (q_search_semantic, None),
+    "search_semantic_topk": (q_search_semantic, _sql_search_semantic()),
     "docs_table": (q_docs_table, SQL_DOCS_TABLE),
     "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
     "term_df": (q_term_df, SQL_TERM_DF),

@@ -67,10 +67,13 @@ def _pairs():
     # sf so the same generator is exercised against local data
     from search_engine_spark.pipeline import contracts_pipeline as cp
 
+    from search_engine_spark import contracts as cc
+
     for name, gen in (
         ("ann_lsh_topk", cp._sql_ann_lsh),
         ("ann_ivf_topk", cp._sql_ann_ivf),
         ("dedup_embedding", cp._sql_dedup_embedding),
+        ("search_semantic_topk", cc._sql_search_semantic),
     ):
         if name in o:
             o[name] = gen(SF_DIR)
