@@ -18,11 +18,19 @@ Design (LSM-memtable-shaped):
    lineage batch — so increments are append-only and never rewrite
    committed rows (a partial chunk split across two batches would emit
    duplicate ``(term, chunk)`` rows and corrupt chunk kernels).
-3. **Tail** — the sub-chunk remainder (< ``chunk_docs`` docs) stays
-   staged (bounded staleness, like an LSM memtable below its flush
-   threshold) until more data arrives; ``advance(final=True)`` flushes
-   it as the terminal partial chunk, sealing the index against further
-   appends.
+3. **Tail** — the sub-chunk remainder (< ``chunk_docs`` docs) is
+   persisted as its own snapshot (bounded staleness, like an LSM
+   memtable below its flush threshold) until more data arrives;
+   ``advance(final=True)`` flushes it as the terminal partial chunk,
+   sealing the index against further appends (enforced — a sealed index
+   raises on new docs instead of corrupting committed chunks).
+
+Each ``advance()`` costs **O(increment)**: a consumed high-water mark
+over the file sink's commit log (``advance_state.json``, written after
+the lineage commit) bounds the scan to newly committed sink files plus
+the tail snapshot; a stale mark (crash between lineage commit and state
+write) triggers one anti-join rescan that also repairs the state.
+``compact_staging()`` retires fully consumed sink files.
 
 Each increment commits one lineage batch (variable chunk count — batch
 metric rows record the chunk range) and re-runs the idempotent
@@ -34,7 +42,9 @@ behavior as the batch builder's resume).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,26 +96,159 @@ class StreamingIndexer:
             return q
         return writer.start()
 
-    # ------------------------------------------------ fold into the index
+    # --------------------------------------- sink-log consumption state
+    #
+    # ``advance()`` must cost O(increment), not O(total staged): the file
+    # sink's commit log (``_spark_metadata``) names the data files of each
+    # staged micro-batch, so an increment only reads files from sink
+    # batches above a consumed high-water mark, plus the persisted
+    # sub-chunk tail from the previous increment.  The mark lives in a
+    # tiny state file written AFTER the lineage commit; a crash between
+    # the two leaves the state stale, which the next ``advance()`` detects
+    # (state.lineage_batch != max committed batch) and repairs by one full
+    # rescan with the key anti-join (the round-2 slow path).
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.staging_dir, "advance_state.json")
+
+    def _read_state(self) -> dict | None:
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_state(self, **state) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)
+
+    def _sink_log(self) -> dict[int, list[str]]:
+        """Parse the file sink's commit log -> {batch_id: [data files]}.
+        Metadata-only (no data read); ``.compact`` entries supersede the
+        plain file of the same batch id and list the full history."""
+        meta = os.path.join(self.corpus_dir, "_spark_metadata")
+        out: dict[int, tuple[bool, list[str]]] = {}
+        if not os.path.isdir(meta):
+            return {}
+        for name in os.listdir(meta):
+            base = name.split(".", 1)[0]
+            if not base.isdigit() or name.endswith((".crc", ".tmp")):
+                continue
+            bid, compact = int(base), name.endswith(".compact")
+            if bid in out and out[bid][0] and not compact:
+                continue
+            paths = []
+            with open(os.path.join(meta, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    try:
+                        ent = json.loads(line)
+                    except ValueError:
+                        continue
+                    if ent.get("action", "add") == "add":
+                        paths.append(ent["path"])
+            out[bid] = (compact, paths)
+        return {bid: paths for bid, (_c, paths) in out.items()}
+
+    def _delta_paths(self, after: int) -> tuple[list[str], int]:
+        """Data files committed to the sink log after batch ``after``
+        (compact batches contribute only paths not already consumed)."""
+        log = self._sink_log()
+        if not log:
+            return [], after
+        seen: set[str] = set()
+        for b, paths in log.items():
+            if b <= after:
+                seen.update(paths)
+        delta: list[str] = []
+        for b in sorted(b for b in log if b > after):
+            for p in log[b]:
+                if p not in seen:
+                    seen.add(p)
+                    delta.append(p)
+        return delta, max(log)
+
+    def _tail_dir(self, version: int) -> str:
+        return os.path.join(self.staging_dir, "tail", f"v{version}")
 
     def staged_corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_dir)
+        """Exactly-once view of every staged doc still on disk (committed
+        sink files not yet retired by :meth:`compact_staging`, plus the
+        persisted tail, de-duplicated)."""
+        state = self._read_state() or {}
+        compacted = state.get("compacted_upto", -1)
+        if compacted < 0:
+            return self.spark.read.parquet(self.corpus_dir)
+        paths, _ = self._delta_paths(compacted)
+        parts = []
+        if state.get("tail_count"):
+            parts.append(
+                self.spark.read.parquet(self._tail_dir(state["tail_version"]))
+            )
+        if paths:
+            parts.append(self.spark.read.parquet(*paths))
+        if not parts:
+            return self.spark.read.parquet(self.corpus_dir).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates(list(SORT_KEYS))
+
+    def compact_staging(self) -> dict:
+        """Retire staged data files whose docs are all indexed or carried
+        in the persisted tail (sink batches <= the consumed high-water
+        mark).  Refuses when the advance state is stale — run
+        ``advance()`` first so recovery can still rescan."""
+        state = self._read_state()
+        store = self.builder.store
+        committed = store.committed_batches()
+        max_committed = max(committed) if committed else None
+        if state is None or state.get("lineage_batch") != max_committed:
+            raise RuntimeError(
+                "advance state is stale; run advance() before compacting"
+            )
+        hwm = state["sink_hwm"]
+        log = self._sink_log()
+        deleted = 0
+        for b in sorted(b for b in log if b <= hwm):
+            if b <= state.get("compacted_upto", -1):
+                continue
+            for p in log[b]:
+                local = p[7:] if p.startswith("file://") else p
+                if os.path.exists(local):
+                    os.remove(local)
+                    deleted += 1
+        state["compacted_upto"] = hwm
+        self._write_state(**state)
+        return {"retired_files": deleted, "compacted_upto": hwm}
+
+    # ------------------------------------------------ fold into the index
 
     def advance(self, final: bool = False) -> dict:
         """Index all staged-but-unindexed docs up to a chunk boundary
         (everything, including the partial tail chunk, when ``final``).
 
-        Idempotent: already-indexed docs are excluded by key anti-join,
-        and the lineage commit is the last step of each increment — a
-        crash before it leaves the index unchanged and the docs-table
-        count gate detects a torn docs append on the next call."""
+        O(increment): the normal path reads only sink files above the
+        consumed high-water mark plus the persisted sub-chunk tail — no
+        rescan of the staged corpus, no anti-join against the docs table.
+        Idempotent across crashes: the state file is written after the
+        lineage commit, so a torn increment leaves it stale and the next
+        call falls back to one full rescan with the key anti-join; a docs
+        append without its lineage commit is caught by the count gate."""
         cfg = self.config
         store = self.builder.store
         if not os.path.isdir(self.corpus_dir):
             # nothing staged yet (start() never ran or the stream was empty)
             n = self._lineage_doc_count()
-            return {"indexed": 0, "staged_tail": 0, "num_docs": n}
-        staged = self.staged_corpus()
+            return {
+                "indexed": 0, "staged_tail": 0, "num_docs": n,
+                "scan": {"mode": "noop", "delta_files": 0},
+            }
 
         if os.path.isdir(store.docs_path):
             docs = store.read_docs()
@@ -120,29 +263,105 @@ class StreamingIndexer:
                     f"lineage covers {lineage_docs}; previous increment "
                     f"was torn before its lineage commit"
                 )
-            new = staged.join(
-                docs.select(*SORT_KEYS), SORT_KEYS, "left_anti"
-            )
         else:
             store.write_meta()
             docs = None
             n_existing = 0
-            new = staged
 
-        n_new = new.count()
+        committed = store.committed_batches()
+        max_committed = max(committed) if committed else None
+        state = self._read_state()
+        fast = state is not None and state.get("lineage_batch") == max_committed
+        tail_version = (state or {}).get("tail_version") or 0
+
+        if fast:
+            delta, sink_hwm = self._delta_paths(state["sink_hwm"])
+            parts = []
+            if state.get("tail_count"):
+                parts.append(
+                    self.spark.read.parquet(
+                        self._tail_dir(state["tail_version"])
+                    )
+                )
+            if delta:
+                parts.append(self.spark.read.parquet(*delta))
+            new = None
+            if parts:
+                new = parts[0]
+                for p in parts[1:]:
+                    new = new.unionByName(p)
+            scan = {
+                "mode": "incremental",
+                "delta_files": len(delta),
+                "tail_rows": int(state.get("tail_count") or 0),
+            }
+        else:
+            # recovery (state missing or stale): one full rescan, key
+            # anti-join drops already-indexed docs, duplicates between a
+            # stale tail and un-retired sink files collapse by key
+            new = self.staged_corpus()
+            _, sink_hwm = self._delta_paths(-1)
+            if docs is not None:
+                new = new.join(
+                    docs.select(*SORT_KEYS), list(SORT_KEYS), "left_anti"
+                )
+            scan = {"mode": "rescan", "delta_files": -1}
+
+        n_new = new.count() if new is not None else 0
+        if n_new > 0 and n_existing % cfg.chunk_docs != 0:
+            # a prior advance(final=True) flushed a partial tail chunk;
+            # indexing more would re-emit that (term, chunk) in a second
+            # lineage batch and corrupt chunk-kernel scoring
+            raise RuntimeError(
+                f"index is sealed: doc count {n_existing} is not chunk-"
+                f"aligned (a final advance flushed a partial chunk); "
+                f"rebuild to fold in {n_new} newly staged docs"
+            )
         total = n_existing + n_new
         if final:
             n_index_to = total
         else:
             n_index_to = (total // cfg.chunk_docs) * cfg.chunk_docs
         n_take = n_index_to - n_existing
+
         if n_take <= 0:
-            return {"indexed": 0, "staged_tail": n_new, "num_docs": n_existing}
+            stale = scan["mode"] == "rescan"
+            if n_new > 0 and (stale or scan["delta_files"] > 0):
+                # sub-chunk wave: fold the delta into a new tail snapshot
+                # and advance the consumed mark so the next call stays
+                # O(increment) even before a chunk boundary is crossed
+                # (a rescan lands here too — freshening the state repairs
+                # the stale mark instead of rescanning forever)
+                tail_version += 1
+                new.write.mode("overwrite").parquet(
+                    self._tail_dir(tail_version)
+                )
+                self._write_state(
+                    sink_hwm=sink_hwm,
+                    lineage_batch=max_committed,
+                    tail_version=tail_version,
+                    tail_count=n_new,
+                    compacted_upto=(state or {}).get("compacted_upto", -1),
+                )
+                old_tail = self._tail_dir(tail_version - 1)
+                if tail_version > 1 and os.path.isdir(old_tail):
+                    shutil.rmtree(old_tail, ignore_errors=True)
+            elif stale and n_new == 0:
+                self._write_state(
+                    sink_hwm=sink_hwm,
+                    lineage_batch=max_committed,
+                    tail_version=None,
+                    tail_count=0,
+                    compacted_upto=(state or {}).get("compacted_upto", -1),
+                )
+            return {
+                "indexed": 0, "staged_tail": n_new,
+                "num_docs": n_existing, "scan": scan,
+            }
 
         first_chunk = n_existing // cfg.chunk_docs
         last_chunk = (n_index_to + cfg.chunk_docs - 1) // cfg.chunk_docs
-        committed = store.committed_batches()
-        batch_id = (max(committed) + 1) if committed else 0
+        batch_id = (max_committed + 1) if committed else 0
 
         # dense ids continue from n_existing, (repo,path,commit)-ordered
         # within the increment (assign_doc_ids' partition-offset scheme).
@@ -150,8 +369,9 @@ class StreamingIndexer:
         # append: appending to docs/ invalidates its file-listing cache,
         # so any later re-evaluation of the anti-join lineage would see
         # the just-appended rows and silently empty the increment.
+        assigned = assign_doc_ids(new)
         incr = (
-            assign_doc_ids(new)
+            assigned
             .where(F.col("doc_id") < n_take)
             .withColumn("doc_id", F.col("doc_id") + F.lit(n_existing))
         )
@@ -159,6 +379,14 @@ class StreamingIndexer:
             self.staging_dir, "increments", f"batch={batch_id}"
         )
         incr.write.mode("overwrite").parquet(inc_path)
+        # the sub-chunk remainder becomes the next increment's tail — also
+        # snapshotted now, before docs/ mutates under the lineage
+        tail_count = n_new - n_take
+        corpus_cols = [c for c in new.columns]
+        tail_version += 1
+        assigned.where(F.col("doc_id") >= n_take).select(
+            *corpus_cols
+        ).write.mode("overwrite").parquet(self._tail_dir(tail_version))
         snap = self.spark.read.parquet(inc_path)
         if snap.count() != n_take:
             raise RuntimeError("increment snapshot row-count mismatch")
@@ -186,11 +414,23 @@ class StreamingIndexer:
             last_chunk,
         )
         stats = self.builder.finalize()
+        self._write_state(
+            sink_hwm=sink_hwm,
+            lineage_batch=batch_id,
+            tail_version=tail_version,
+            tail_count=tail_count,
+            compacted_upto=(state or {}).get("compacted_upto", -1),
+        )
+        # old tail snapshots are no longer referenced by any state
+        old_tail = self._tail_dir(tail_version - 1)
+        if tail_version > 1 and os.path.isdir(old_tail):
+            shutil.rmtree(old_tail, ignore_errors=True)
         return {
             "indexed": n_take,
-            "staged_tail": n_new - n_take,
+            "staged_tail": tail_count,
             "num_docs": int(stats["num_docs"]),
             "batch": metric,
+            "scan": scan,
         }
 
     def _lineage_doc_count(self) -> int:

@@ -189,6 +189,166 @@ def test_advance_before_any_staging_is_noop(spark, tmp_path):
     indexer = StreamingIndexer(
         spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
     )
-    assert indexer.advance() == {
-        "indexed": 0, "staged_tail": 0, "num_docs": 0,
-    }
+    r = indexer.advance()
+    assert (r["indexed"], r["staged_tail"], r["num_docs"]) == (0, 0, 0)
+
+
+def _stage_wave(spark, indexer, src, wave, schema):
+    cols = ["repo", "path", "commit", "lang", "content"]
+    spark.createDataFrame(wave, schema=schema).select(*cols).write.mode(
+        "append"
+    ).parquet(src)
+    indexer.start(
+        spark.readStream.schema(schema).parquet(src), available_now=True
+    )
+
+
+def test_advance_reads_only_the_increment(spark, tmp_path):
+    """The Kth advance must be O(increment): after the first advance
+    establishes the consumed high-water mark, later advances scan only
+    the newly staged sink files (plus the bounded sub-chunk tail) — no
+    full-staging rescan, no docs anti-join."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=240, seed=23)
+    waves = [
+        [dict(r, repo=f"a{w}-" + r["repo"]) for r in rows[w * 80:(w + 1) * 80]]
+        for w in range(3)
+    ]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    _stage_wave(spark, indexer, src, waves[0], schema)
+    r1 = indexer.advance()
+    # first-ever advance has no state yet -> one full scan, then sealed
+    assert r1["indexed"] == 64 and r1["scan"]["mode"] == "rescan"
+
+    for wave, n_before in ((waves[1], 64), (waves[2], 128)):
+        _stage_wave(spark, indexer, src, wave, schema)
+        r = indexer.advance()
+        assert r["scan"]["mode"] == "incremental"
+        # exactly the files of the new sink batch (one per wave write
+        # here), never the full staged history
+        log = indexer._sink_log()
+        newest = log[max(log)]
+        assert 0 < r["scan"]["delta_files"] <= len(newest)
+        # tail stays sub-chunk-bounded: exactly the docs above the last
+        # chunk boundary, never the full staged history
+        assert r["scan"]["tail_rows"] == {64: 16, 128: 32}[n_before]
+    rf = indexer.advance(final=True)
+    assert rf["num_docs"] == 240
+
+    # the final index matches the refsem oracle over the full corpus
+    eng = SearchEngine(spark, str(tmp_path / "idx"), CFG)
+    all_sorted = sorted(
+        (row for wave in waves for row in wave),
+        key=lambda x: (x["repo"], x["path"], x["commit"]),
+    )
+    oracle = RefSemIndex(corpus_to_tokens(all_sorted))
+    _n, ref = oracle.search_text("zqmerge", SearchMode.AND)
+    assert _ranked(eng, "zqmerge", SearchMode.AND) == [
+        (d, pytest.approx(s, rel=1e-9)) for s, d in ref
+    ]
+
+
+def test_stale_state_recovers_by_rescan(spark, tmp_path):
+    """A crash between lineage commit and state write leaves the state
+    stale; the next advance detects it, falls back to the anti-join
+    rescan, indexes correctly, and repairs the state."""
+    import os
+
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=200, seed=29)
+    waves = [
+        [dict(r, repo=f"a{w}-" + r["repo"]) for r in rows[w * 100:(w + 1) * 100]]
+        for w in range(2)
+    ]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    _stage_wave(spark, indexer, src, waves[0], schema)
+    assert indexer.advance()["indexed"] == 64
+    # simulate the crash window: state file lost after the commit
+    os.remove(indexer._state_path)
+    _stage_wave(spark, indexer, src, waves[1], schema)
+    r = indexer.advance()
+    assert r["scan"]["mode"] == "rescan"
+    assert r["num_docs"] == 192  # 200 staged -> 3 aligned chunks
+    # state repaired: the next wave goes back to the incremental path
+    assert indexer.advance()["scan"]["mode"] == "incremental"
+
+
+def test_sealed_index_rejects_new_docs(spark, tmp_path):
+    """advance(final=True) flushing a partial chunk seals the index; a
+    later advance with newly staged docs must raise, not re-emit the
+    committed partial (term, chunk) rows in a second lineage batch."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=120, seed=31)
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    wave1 = [dict(r, repo="a-" + r["repo"]) for r in rows[:90]]
+    wave2 = [dict(r, repo="b-" + r["repo"]) for r in rows[90:]]
+    _stage_wave(spark, indexer, src, wave1, schema)
+    assert indexer.advance(final=True)["num_docs"] == 90  # partial chunk
+    _stage_wave(spark, indexer, src, wave2, schema)
+    with pytest.raises(RuntimeError, match="sealed"):
+        indexer.advance()
+    # but a sealed index with nothing new stays quietly idempotent
+    # (the staged-but-rejected docs remain visible)
+    assert indexer.staged_corpus().count() == 120
+
+
+def test_compact_staging_retires_consumed_files(spark, tmp_path):
+    """compact_staging deletes fully consumed sink files; queries over
+    the index and later advances keep working."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=200, seed=37)
+    waves = [
+        [dict(r, repo=f"a{w}-" + r["repo"]) for r in rows[w * 100:(w + 1) * 100]]
+        for w in range(2)
+    ]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    _stage_wave(spark, indexer, src, waves[0], schema)
+    r = indexer.advance()
+    assert r["indexed"] == 64 and r["staged_tail"] == 36
+    c = indexer.compact_staging()
+    assert c["retired_files"] > 0
+    # consumed docs survive in index + tail: staged view shows the tail
+    assert indexer.staged_corpus().count() == 36
+    # the next wave indexes incrementally on top of the compacted staging
+    _stage_wave(spark, indexer, src, waves[1], schema)
+    r2 = indexer.advance(final=True)
+    assert r2["scan"]["mode"] == "incremental"
+    assert r2["num_docs"] == 200
+    eng = SearchEngine(spark, str(tmp_path / "idx"), CFG)
+    all_sorted = sorted(
+        (row for wave in waves for row in wave),
+        key=lambda x: (x["repo"], x["path"], x["commit"]),
+    )
+    oracle = RefSemIndex(corpus_to_tokens(all_sorted))
+    _n, ref = oracle.search_text("zqmerge", SearchMode.AND)
+    assert _ranked(eng, "zqmerge", SearchMode.AND) == [
+        (d, pytest.approx(s, rel=1e-9)) for s, d in ref
+    ]
