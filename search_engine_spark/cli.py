@@ -95,24 +95,56 @@ def cmd_search(args: argparse.Namespace) -> None:
         if not args.embeddings:
             raise SystemExit("--mode SEMANTIC requires --embeddings")
         emb = spark.read.parquet(args.embeddings)
+        head = emb.head()
+        if head is None:
+            raise SystemExit(
+                f"embeddings table {args.embeddings} is empty"
+            )
         id_col, emb_col = emb.columns[0], emb.columns[1]
         if args.query_vec_id is not None:
-            qvec = [
-                float(v)
-                for v in emb.where(
-                    F.col(id_col) == args.query_vec_id
-                ).head()[emb_col]
-            ]
+            row = emb.where(F.col(id_col) == args.query_vec_id).head()
+            if row is None:
+                raise SystemExit(
+                    f"vec_id {args.query_vec_id} not found in "
+                    f"{args.embeddings}"
+                )
+            qvec = [float(v) for v in row[emb_col]]
         else:
-            # encode the query text with the same (stub) encoder family
-            # the `embed` subcommand uses — a real deployment plugs a
-            # sentence-transformer here (pipeline/embeddings.get_encoder)
+            # encode the query text with the encoder family the `embed`
+            # subcommand recorded next to the table — encoding with a
+            # different model/model_dim than the stored vectors would put
+            # the query in a different space and make cosines meaningless
             from search_engine_spark.pipeline.embeddings import (
-                fake_md5_encoder, postprocess, DEFAULT_PREFIX,
+                get_encoder, postprocess, DEFAULT_PREFIX,
             )
 
-            dim = len(emb.head()[emb_col])
-            raw = fake_md5_encoder(args.model_dim)(
+            emeta = _read_embeddings_meta(args.embeddings)
+            dim = len(head[emb_col])
+            if emeta:
+                model_dim = emeta["model_dim"]
+                model_name = emeta["model"]
+                if args.model_dim is not None and args.model_dim != model_dim:
+                    raise SystemExit(
+                        f"--model-dim {args.model_dim} conflicts with the "
+                        f"stored embeddings (built with model_dim="
+                        f"{model_dim}; see _embeddings_meta.json)"
+                    )
+                if emeta.get("truncate_dim", dim) != dim:
+                    raise SystemExit(
+                        f"embeddings meta says truncate_dim="
+                        f"{emeta['truncate_dim']} but stored vectors have "
+                        f"{dim} dims — table and meta disagree"
+                    )
+            else:
+                model_dim = args.model_dim if args.model_dim else 64
+                model_name = "fake-md5"
+                print(
+                    f"warning: no _embeddings_meta.json next to "
+                    f"{args.embeddings}; assuming {model_name} "
+                    f"model_dim={model_dim}",
+                    file=sys.stderr,
+                )
+            raw = get_encoder(model_name, model_dim)(
                 [DEFAULT_PREFIX + args.query]
             )
             qvec = [float(v) for v in postprocess(raw, dim)[0]]
@@ -135,10 +167,24 @@ def cmd_search(args: argparse.Namespace) -> None:
     print(f"-- {len(out)} results in {wall:.3f}s", file=sys.stderr)
 
 
+def _read_embeddings_meta(table_path: str) -> dict | None:
+    """Sidecar written by `embed` next to the parquet parts (underscore
+    prefix keeps Spark's data-file discovery from picking it up)."""
+    import os
+
+    try:
+        with open(os.path.join(table_path, "_embeddings_meta.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def cmd_embed(args: argparse.Namespace) -> None:
     """Embedding ingestion (reference embedding_ingestion_nomic.py CLI)."""
+    import os
+
     from search_engine_spark.pipeline.embeddings import (
-        embed_pipeline, get_encoder,
+        DEFAULT_PREFIX, embed_pipeline, get_encoder,
     )
 
     spark = _spark("se-embed")
@@ -156,6 +202,18 @@ def cmd_embed(args: argparse.Namespace) -> None:
     out.withColumnRenamed("id", "vec_id").write.mode("overwrite").parquet(
         args.output
     )
+    # record the encoding space so `search --mode SEMANTIC` can encode
+    # query text with the same model/dims instead of trusting CLI flags
+    with open(os.path.join(args.output, "_embeddings_meta.json"), "w") as f:
+        json.dump(
+            {
+                "model": args.model,
+                "model_dim": args.model_dim,
+                "truncate_dim": args.truncate_dim,
+                "prefix": DEFAULT_PREFIX,
+            },
+            f,
+        )
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
 
 
@@ -217,7 +275,7 @@ def cmd_make_dataset(args: argparse.Namespace) -> None:
     # same here (only bites engine-mined top100 with rare-term queries)
     for c in target:
         labeled = labeled.where(F.col(f"`{c}`").isNotNull())
-    labeled = ds.with_row_index(labeled, ["queryid"])
+    labeled = ds.with_row_index(labeled, ["queryid", "docid"])
     r = docs.agg(
         F.sum(F.size(ds.tokens_col("body"))).alias("sb"),
         F.sum(F.size(ds.tokens_col("title"))).alias("st"),
@@ -309,7 +367,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="embeddings parquet (SEMANTIC mode)")
     s.add_argument("--query-vec-id", type=int, default=None,
                    help="use a stored vector as the query embedding")
-    s.add_argument("--model-dim", type=int, default=64)
+    s.add_argument("--model-dim", type=int, default=None,
+                   help="query-encoder dim; defaults to the stored "
+                        "_embeddings_meta.json (errors on conflict)")
     s.add_argument("--model", default=None,
                    help="trained re-ranker weights (.npz from make-dataset --train)")
     s.set_defaults(fn=cmd_search)

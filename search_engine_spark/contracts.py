@@ -111,6 +111,33 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_fingerprint(sf_dir: str, tables: tuple = ("documents",)) -> str:
+    """(name, size, mtime_ns) digest of an sf dir's source parquet — part
+    of every /tmp cache tag so regenerated testdata invalidates cached
+    indexes instead of silently reusing stale ones."""
+    h = hashlib.sha256()
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        files = [p]
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(root, f)
+                for root, _d, fs in os.walk(p)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        for f in files:
+            try:
+                st = os.stat(f)
+                h.update(
+                    f"{os.path.basename(f)}|{st.st_size}|{st.st_mtime_ns}"
+                    .encode()
+                )
+            except OSError:
+                h.update(f"{os.path.basename(f)}|missing".encode())
+    return h.hexdigest()[:12]
+
+
 def get_engine(spark: SparkSession, sf_dir: str):
     """Build (or reuse) the contract index for an sf dir; returns
     SearchEngine.  Builds are resumable, so a cached partial build
@@ -122,9 +149,12 @@ def get_engine(spark: SparkSession, sf_dir: str):
     if key in _ENGINES:
         return _ENGINES[key]
     # bump LAYOUT_V whenever the on-disk index layout changes — a stale
-    # cached dir under /tmp from an older layout must not be reused
+    # cached dir under /tmp from an older layout must not be reused; the
+    # fingerprint retires caches when the source data itself changes
     LAYOUT_V = "v2-doclens-in-postings"
-    tag = hashlib.sha256(f"{key}|{LAYOUT_V}".encode()).hexdigest()[:12]
+    tag = hashlib.sha256(
+        f"{key}|{LAYOUT_V}|{data_fingerprint(key)}".encode()
+    ).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"se_contract_{tag}")
     builder = IndexBuilder(spark, index_dir, CONTRACT_CONFIG)
     corpus = corpus_from_documents(spark, sf_dir)
@@ -337,7 +367,9 @@ def q_streaming_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.streaming import StreamingIndexer
 
     key = os.path.abspath(sf_dir)
-    tag = hashlib.sha256(f"{key}|stream|v1".encode()).hexdigest()[:12]
+    tag = hashlib.sha256(
+        f"{key}|stream|v1|{data_fingerprint(key)}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"se_stream_{tag}")
     index_dir = os.path.join(base, "idx")
     indexer = StreamingIndexer(

@@ -335,9 +335,12 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
     key = (os.path.abspath(sf_dir), kind)
     if key in _ANN_CACHE:
         return _ANN_CACHE[key]
+    from search_engine_spark.contracts import data_fingerprint
+
     cls = similarity.LshIndex if kind == "lsh" else similarity.IvfIndex
+    fp = data_fingerprint(key[0], tables=("embeddings",))
     tag = hashlib.sha256(
-        f"{key[0]}|{kind}|{_ANN_LAYOUT_V}".encode()
+        f"{key[0]}|{kind}|{_ANN_LAYOUT_V}|{fp}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"se_ann_{tag}")
     if os.path.exists(os.path.join(path, "ann_meta.json")):
@@ -695,7 +698,7 @@ def _dataset_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = ds.label_matches(
         train.join(F.broadcast(piv), "queryid"), _T_RANKS
     )
-    return ds.with_row_index(labeled, ["queryid"])
+    return ds.with_row_index(labeled, ["queryid", "docid"])
 
 
 def _dataset_features(spark: SparkSession, sf_dir: str) -> DataFrame:

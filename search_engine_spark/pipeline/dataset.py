@@ -117,7 +117,24 @@ def with_row_index(
     (create-dataset.py:74).  A global ``row_number`` window is a
     single-partition sort — acceptable here because the frame is one row
     per qrel (queries, not documents); for corpus-sized frames use the
-    sort + per-partition-offset scheme in ``sources/corpus.py``."""
+    sort + per-partition-offset scheme in ``sources/corpus.py``.
+
+    ``order_cols`` must be a unique key: ties would make the index —
+    and everything built on it (the seeded split, the oracles) —
+    nondeterministic across runs.  Enforced with one count-distinct pass
+    (the frame is qrels-sized; callers pass the full (queryid, docid)
+    key, which stays unique even when real qrels have several relevant
+    docs per query)."""
+    dup = (
+        df.groupBy(*order_cols).count().where(F.col("count") > 1).limit(1)
+    ).head()
+    if dup is not None:
+        raise ValueError(
+            f"with_row_index order_cols {order_cols} are not a unique "
+            f"key (e.g. {tuple(dup)[:-1]} appears {dup['count']} times); "
+            f"tie order would be nondeterministic — pass the full "
+            f"(queryid, docid) key"
+        )
     w = Window.orderBy(*order_cols)
     return df.withColumn(name, F.row_number().over(w) - 1)
 

@@ -344,6 +344,15 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means the graph
+        # diameter exceeds the round budget — returning the partial
+        # labels silently would look like valid (wrong) components
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use a "
+            f"large-star/small-star variant for long-chain graphs"
+        )
     return labels
 
 

@@ -29,7 +29,7 @@ def parts(spark):
             train.join(F.broadcast(piv), "queryid"),
             [str(r) for r in ds.TARGET_RANKS],
         ),
-        ["queryid"],
+        ["queryid", "docid"],
     )
     r = docs.agg(
         F.sum(F.size(ds.tokens_col("body"))).alias("sb"),

@@ -94,7 +94,7 @@ def examples(spark):
     labeled = ds.with_row_index(
         ds.label_matches(train_j.join(F.broadcast(piv), "queryid"),
                          [str(r) for r in ds.TARGET_RANKS]),
-        ["queryid"],
+        ["queryid", "docid"],
     )
     r = docs.agg(
         F.sum(F.size(ds.tokens_col("body"))).alias("sb"),
