@@ -332,6 +332,27 @@ def cmd_stream_ingest(args: argparse.Namespace) -> None:
     print(json.dumps({k: v for k, v in res.items() if k != "batch"}))
 
 
+def cmd_serve(args: argparse.Namespace) -> None:
+    """Long-lived HTTP search endpoint over a warm engine (twin of the
+    reference's web.py; also kills the per-query cold-start the one-shot
+    `search` subcommand pays)."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.serve import serve
+
+    spark = _spark("se-serve")
+    serve(
+        spark,
+        args.index,
+        host=args.host,
+        port=args.port,
+        config=EngineConfig(
+            tokenizer=args.tokenizer, enable_spelling=args.spelling
+        ),
+        corpus_path=args.corpus,
+        model_path=args.model,
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="search_engine_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -424,6 +445,20 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--chunks-per-batch", type=int, default=64)
     st.add_argument("--term-buckets", type=int, default=32)
     st.set_defaults(fn=cmd_stream_ingest)
+
+    sv = sub.add_parser(
+        "serve", help="HTTP search endpoint over a warm engine"
+    )
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--tokenizer", default="simplemma")
+    sv.add_argument("--spelling", action="store_true")
+    sv.add_argument("--corpus", default=None,
+                    help="corpus parquet for result snippets")
+    sv.add_argument("--model", default=None,
+                    help="re-ranker weights (.npz) for rerank=1 requests")
+    sv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)

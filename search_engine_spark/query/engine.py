@@ -107,6 +107,21 @@ class SearchEngine:
                 return tokens
             self._corrector = SpellingCorrector(self.spark, self.store)
         dfs = self.store.term_stats_for(tokens)
+        # first pass marks the OOV positions; every OOV token of the
+        # query then rides ONE correct_many job (not a job per token)
+        oov: list[str] = []
+        in_phrase = False
+        for t in tokens:
+            if t == '"':
+                in_phrase = not in_phrase
+            elif not (
+                in_phrase
+                or t in ("(", ")")
+                or t.upper() in PRECEDENCE
+                or dfs.get(t, 0) > 0
+            ):
+                oov.append(t)
+        fixes = self._corrector.correct_many(oov) if oov else {}
         out = []
         in_phrase = False
         for t in tokens:
@@ -121,7 +136,7 @@ class SearchEngine:
             ):
                 out.append(t)
             else:
-                out.append(self._corrector.correct(t))
+                out.append(fixes.get(t, t))
         return out
 
     # ----- planning -----

@@ -70,54 +70,111 @@ def build_trigram_table(store: IndexStore) -> None:
 
 
 class SpellingCorrector:
+    """One Spark job corrects a whole batch of OOV tokens: the token->
+    trigram probe rides a broadcast join into the trigram table, the
+    Jaccard funnel's top-``jaccard_pool`` is taken per token with a
+    window INSIDE the job (never collecting raw candidate pools — a
+    common trigram like 'ing' matches a vocabulary-sized candidate set
+    at web scale), and only <= ``jaccard_pool`` rows per token reach the
+    driver for the edit-distance/df funnels.  The trigram table itself
+    is cached on first use (vocabulary-derived, ~avg-token-length rows
+    per vocab term — tiny next to postings), so repeat probes skip the
+    parquet scan entirely."""
+
     def __init__(
         self,
         spark: SparkSession,
         store: IndexStore,
         jaccard_pool: int = 75,
         edit_pool: int = 50,
+        cache_table: bool = True,
     ):
         self.spark = spark
         self.store = store
         self.jaccard_pool = jaccard_pool
         self.edit_pool = edit_pool
         self.path = str(store.dir / "trigrams")
+        self.cache_table = cache_table
+        self._table: DataFrame | None = None
 
-    def _candidates(self, trigrams: set[str]) -> list[tuple[str, int, int]]:
+    def table(self) -> DataFrame:
+        if self._table is None:
+            self._table = self.spark.read.parquet(self.path)
+            if self.cache_table:
+                self._table = self._table.cache()
+        return self._table
+
+    def _jaccard_pools(
+        self, tok_tris: dict[str, tuple[str, ...]]
+    ) -> dict[str, list[tuple[str, int, int, int]]]:
+        """{token: [(cand, n_trigrams, df, overlap)] top jaccard_pool} in
+        ONE Spark job for every token in the batch."""
+        from pyspark.sql import Window
+
+        probe_rows = [
+            (qtok, tri, len(tris))
+            for qtok, tris in tok_tris.items()
+            for tri in tris
+        ]
+        probe = self.spark.createDataFrame(
+            probe_rows, "qtok string, trigram string, nq int"
+        )
         buckets = sorted(
-            {term_bucket(t, self.store.config.n_term_buckets) for t in trigrams}
+            {
+                term_bucket(t, self.store.config.n_term_buckets)
+                for _q, t, _n in probe_rows
+            }
+        )
+        cand = (
+            self.table()
+            .where(F.col("bucket").isin(buckets))
+            .join(F.broadcast(probe), "trigram")
+            .groupBy("qtok", "nq", "token", "n_trigrams", "df")
+            .agg(F.count("*").alias("overlap"))
+        )
+        # funnel 1: per-token Jaccard top-N (ties -> lexicographically
+        # smaller token, same total order as the driver-side sort)
+        jacc = F.col("overlap") / (
+            F.col("n_trigrams") + F.col("nq") - F.col("overlap")
+        )
+        w = Window.partitionBy("qtok").orderBy(
+            (-jacc).asc(), F.col("token").asc()
         )
         rows = (
-            self.spark.read.parquet(self.path)
-            .where(
-                F.col("bucket").isin(buckets)
-                & F.col("trigram").isin(sorted(trigrams))
-            )
-            .groupBy("token", "n_trigrams", "df")
-            .agg(F.count("*").alias("overlap"))
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= self.jaccard_pool)
             .collect()
         )
-        return [(r.token, int(r.n_trigrams), int(r.df), int(r.overlap)) for r in rows]
+        out: dict[str, list] = {q: [] for q in tok_tris}
+        for r in sorted(rows, key=lambda r: r.rn):
+            out[r.qtok].append(
+                (r.token, int(r.n_trigrams), int(r.df), int(r.overlap))
+            )
+        return out
+
+    def correct_many(self, tokens: list[str]) -> dict[str, str]:
+        """Best-df replacement per out-of-vocabulary token (the token
+        itself when nothing shares a trigram) — one job per batch."""
+        tok_tris = {
+            t: tuple(sorted(get_trigrams_from_token(t)))
+            for t in dict.fromkeys(tokens)
+        }
+        todo = {t: tris for t, tris in tok_tris.items() if tris}
+        result = {t: t for t in tok_tris}
+        if not todo:
+            return result
+        pools = self._jaccard_pools(todo)
+        for token, scored in pools.items():
+            if not scored:
+                continue
+            # funnel 2: edit-distance bottom-N
+            by_ed = sorted(
+                scored, key=lambda c: (levenshtein(c[0], token), c[0])
+            )[: self.edit_pool]
+            # funnel 3: argmax document frequency
+            best = min(by_ed, key=lambda c: (-c[2], c[0]))
+            result[token] = best[0]
+        return result
 
     def correct(self, token: str) -> str:
-        """Best-df replacement for an out-of-vocabulary token (the token
-        itself if nothing shares a trigram)."""
-        tris = get_trigrams_from_token(token)
-        if not tris:
-            return token
-        cands = self._candidates(tris)
-        if not cands:
-            return token
-        n_q = len(tris)
-        # funnel 1: Jaccard top-N (ties -> lexicographically smaller token)
-        scored = sorted(
-            cands,
-            key=lambda c: (-(c[3] / (c[1] + n_q - c[3])), c[0]),
-        )[: self.jaccard_pool]
-        # funnel 2: edit-distance bottom-N
-        by_ed = sorted(
-            scored, key=lambda c: (levenshtein(c[0], token), c[0])
-        )[: self.edit_pool]
-        # funnel 3: argmax document frequency
-        best = min(by_ed, key=lambda c: (-c[2], c[0]))
-        return best[0]
+        return self.correct_many([token])[token]

@@ -69,6 +69,38 @@ def test_misspelled_query_corrected(setup):
     assert corrector.correct("zqmrge") == fixed
 
 
+def test_correct_many_is_one_job_and_matches_singles(setup):
+    """A whole batch of OOV tokens is corrected in ONE Spark job (the
+    round-2 per-token parquet-scan latency fix), with results identical
+    to token-at-a-time correction."""
+    from search_engine_spark.query.spelling import SpellingCorrector
+
+    engine, _oracle = setup
+    corrector = SpellingCorrector(engine.spark, engine.store)
+    tokens = ["zqmrge", "zqshrd", "codc_2", "xxqqzz"]
+    singles = {t: corrector.correct(t) for t in tokens}
+
+    sc = engine.spark.sparkContext
+
+    def jobs_for(fn):
+        group = f"spell-{id(fn)}"
+        sc.setJobGroup(group, "spelling job-count assertion")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # warm the cached trigram table so both measurements see it
+    corrector.correct_many(["warmup"])
+    batch, n_batch = jobs_for(lambda: corrector.correct_many(tokens))
+    _one, n_one = jobs_for(lambda: corrector.correct_many(tokens[:1]))
+    assert batch == singles
+    # ONE action regardless of batch size (AQE may split an action into
+    # a few jobs, but the count must not scale with the token count)
+    assert n_batch == n_one, (n_batch, n_one)
+
+
 def test_invocab_token_not_corrected(setup):
     engine, oracle = setup
     _n, ref_top = oracle.search_text("zqmerge", SearchMode.AND)
