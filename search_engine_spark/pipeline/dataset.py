@@ -484,13 +484,14 @@ def top100_from_engine(
 
     The queries table is collected (it is qrels-sized, not corpus-sized)
     and dispatched through ``search_batch`` so every query shares one
-    postings scan."""
+    postings scan; past ``chunk_size`` queries the chunked path keeps
+    driver state and kernel closures bounded (one scan per slice)."""
     from search_engine_spark.plans.parser import SearchMode
 
     mode = mode or SearchMode.OR
     rows = queries.select("queryid", "query").collect()
     qids = [int(r.queryid) for r in rows]
-    ranked = engine.search_batch(
+    ranked = engine.search_batch_chunked(
         [(r.query, mode) for r in rows], num_return=n_cand
     )
     mapping = engine.spark.createDataFrame(

@@ -270,6 +270,48 @@ class SearchEngine:
             )
         return self.execute(plans, use_wand=use_wand)
 
+    def search_batch_chunked(
+        self,
+        queries: list[tuple[str, SearchMode]],
+        num_return: int | None = None,
+        use_wand: bool = True,
+        chunk_size: int = 4096,
+        output_path: str | None = None,
+    ) -> DataFrame:
+        """Offline-scale batch search with bounded driver state.
+
+        ``search_batch`` compiles every plan up front and ships the whole
+        list in one kernel closure — fine at qrels scale, but a 1M-query
+        mining run would hold 1M plans on the driver and serialize them
+        into every task.  Here queries run in ``chunk_size`` slices:
+        per-slice tokenize/stats/compile keeps the driver's live plan set,
+        the kernel closure, and the postings ``isin`` filter O(chunk),
+        while each slice's scan still fetches only that slice's terms.
+        qids stay global (position in ``queries``) and results are
+        identical to the one-shot path.
+
+        With ``output_path`` each slice is written eagerly (append) and
+        the return value reads the parquet back — total plan size and
+        driver memory stay O(chunk) no matter how many queries; without
+        it the slices are unioned lazily (fine up to a few hundred
+        slices)."""
+        from functools import reduce
+
+        if len(queries) <= chunk_size and output_path is None:
+            return self.search_batch(queries, num_return, use_wand)
+        outs = []
+        for lo in range(0, len(queries), chunk_size):
+            ranked = self.search_batch(
+                queries[lo : lo + chunk_size], num_return, use_wand
+            ).withColumn("qid", (F.col("qid") + F.lit(lo)).cast("int"))
+            if output_path is not None:
+                ranked.write.mode("append").parquet(output_path)
+            else:
+                outs.append(ranked)
+        if output_path is not None:
+            return self.spark.read.parquet(output_path)
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
     def _feature_scores(
         self, live: list[CompiledQuery], candidates: DataFrame, model=None
     ) -> DataFrame:

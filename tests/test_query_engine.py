@@ -231,3 +231,50 @@ def test_layout_config_comes_from_index_meta(spark, tmp_path):
     assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
         d_ for _s, d_ in ref_top
     ]
+
+
+def test_chunked_batch_matches_oneshot_at_10k(setup, tmp_path):
+    """10k-query offline batch through search_batch_chunked: driver
+    state stays O(chunk) (each slice compiles separately, eager parquet
+    spill), results are identical to the one-shot path on a sample, and
+    global qids survive the slicing."""
+    import time
+
+    engine, _oracle = setup
+    # rare (un-pruned) terms only, so every combo returns results and the
+    # qid-coverage assertion is exact
+    base = ["zqmerge", "zqshard", "merge_3", "tiny"]
+    queries = [
+        (f"{base[i % 4]} {base[(i // 4) % 4]}", SearchMode.OR)
+        for i in range(10_000)
+    ]
+    t0 = time.time()
+    out_path = str(tmp_path / "mined")
+    ranked = engine.search_batch_chunked(
+        queries, num_return=5, chunk_size=2048, output_path=out_path
+    )
+    rows = ranked.collect()
+    wall = time.time() - t0
+    # every query produced results, qids cover the whole global range
+    qids = {r.qid for r in rows}
+    assert len(qids) == 10_000 and min(qids) == 0 and max(qids) == 9_999
+
+    # sample parity vs the one-shot path (same qid -> same ranking)
+    sample = [0, 1, 2048, 5000, 9999]
+    one = engine.search_batch(
+        [queries[i] for i in sample], num_return=5
+    ).collect()
+    got = {i: [] for i in sample}
+    for r in rows:
+        if r.qid in got:
+            got[r.qid].append((r.rank, r.doc_id, round(r.score, 9)))
+    for local_qid, global_qid in enumerate(sample):
+        want = sorted(
+            (r.rank, r.doc_id, round(r.score, 9))
+            for r in one
+            if r.qid == local_qid
+        )
+        assert sorted(got[global_qid]) == want, global_qid
+    # the whole run is job-bound, not driver-compile-bound: 10k compiles
+    # plus 5 slice jobs must land in interactive time even on local[4]
+    assert wall < 300, f"chunked batch took {wall:.0f}s"
