@@ -1013,7 +1013,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.pipeline import multimodal
 
     binary = multimodal.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
-    return multimodal.decode_features(binary).select(
+    # decoder pinned to the SQL-replicable fake: the payloads are text
+    # bytes, and the oracle hash must not depend on the host having PIL
+    return multimodal.decode_features(binary, decoder="fake").select(
         "id", "n_bytes", "width", "height"
     )
 

@@ -57,16 +57,47 @@ def fake_md5_encoder(model_dim: int = 64) -> Encoder:
     return encode
 
 
+_ST_MODELS: dict = {}  # per-process model cache (one load per executor)
+
+
+def sentence_transformer_encoder(model_name: str) -> Encoder:
+    """Real encoder seam: lazily loads a sentence-transformers model ON
+    FIRST CALL (i.e. on the executor, once per process — the closure
+    ships only the model *name*, never model weights), encodes to
+    float64.  Importable only on a torch-equipped host; the import lives
+    inside the call so building the closure on a bare driver still
+    works when executors have the package."""
+
+    def encode(texts: list[str]) -> np.ndarray:
+        model = _ST_MODELS.get(model_name)
+        if model is None:
+            from sentence_transformers import SentenceTransformer
+
+            model = _ST_MODELS[model_name] = SentenceTransformer(model_name)
+        out = model.encode(
+            texts, convert_to_numpy=True, normalize_embeddings=False
+        )
+        return np.asarray(out, dtype=np.float64)
+
+    return encode
+
+
 def get_encoder(model_name: str, model_dim: int = 64) -> Encoder:
-    """'fake-md5' -> the deterministic fake; real model names raise (no
-    torch/sentence-transformers in this container — supply your own
-    ``Encoder`` callable to :func:`encode_corpus` to plug one in)."""
+    """'fake-md5' -> the deterministic fake; any other name -> the
+    sentence-transformers seam (activates without code changes on a
+    host that has the package; raises a clear error at encode time
+    otherwise)."""
     if model_name == "fake-md5":
         return fake_md5_encoder(model_dim)
-    raise NotImplementedError(
-        f"model {model_name!r} needs sentence-transformers; pass a custom "
-        f"encoder callable (list[str] -> ndarray[n, dim]) instead"
-    )
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"model {model_name!r} needs sentence-transformers (not in "
+            f"this container); pass a custom encoder callable "
+            f"(list[str] -> ndarray[n, dim]) instead"
+        )
+    return sentence_transformer_encoder(model_name)
 
 
 def encode_corpus(

@@ -59,32 +59,58 @@ def _fake_decode(buf: bytes) -> tuple[int, int, int, list[float]]:
     return n, width, height, feat
 
 
-def decode_features(binary_df: DataFrame) -> DataFrame:
+def _pil_decode(buf: bytes) -> tuple[int, int, int, list[float]]:
+    """Real image decode (activates on any PIL-equipped host): open the
+    payload, report true raster dims, and a 4-dim byte/pixel stat
+    feature.  Import inside so only executors with PIL run it."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(buf)) as im:
+        w, h = im.size
+        arr = np.asarray(im.convert("L"), dtype=np.float64)
+    return (
+        len(buf),
+        int(w),
+        int(h),
+        [len(buf) / 1000.0, float(arr.mean()), float(arr.min()),
+         float(arr.max())],
+    )
+
+
+def decode_features(binary_df: DataFrame, decoder: str = "auto") -> DataFrame:
     """mapInPandas batch decoder -> DECODE_SCHEMA.
 
-    Tries a real decoder (PIL) first; this container has none, so the
-    deterministic fake runs.  Batches arrive as Arrow; the loop is per
-    payload (decoding is inherently per-object) but all statistics are
-    numpy-vectorized per payload.
+    ``decoder``: ``"auto"`` uses PIL when importable, else the
+    deterministic fake; ``"pil"`` requires PIL (raises otherwise);
+    ``"fake"`` pins the SQL-replicable fake (the contract oracle pins
+    this so its hashes don't depend on the host's libraries).  Batches
+    arrive as Arrow; the loop is per payload (decoding is inherently
+    per-object) but all statistics are numpy-vectorized per payload.
     """
+    if decoder not in ("auto", "pil", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - not installed here
-            from PIL import Image  # noqa: F401
+        use_pil = False
+        if decoder in ("auto", "pil"):
+            try:
+                from PIL import Image  # noqa: F401
 
-            real = True
-        except ImportError:
-            real = False
+                use_pil = True
+            except ImportError:
+                if decoder == "pil":
+                    raise NotImplementedError(
+                        "decoder='pil' requires the PIL package"
+                    )
+        decode = _pil_decode if use_pil else _fake_decode
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             rows = []
             for id_, buf in zip(pdf["id"], pdf["payload"]):
-                if real:  # pragma: no cover - container has no PIL
-                    raise NotImplementedError(
-                        "real image decode path requires PIL wiring"
-                    )
-                n, w, h, feat = _fake_decode(bytes(buf))
+                n, w, h, feat = decode(bytes(buf))
                 rows.append((int(id_), n, w, h, feat))
             yield pd.DataFrame(
                 rows, columns=["id", "n_bytes", "width", "height", "feat"]
