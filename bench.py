@@ -160,8 +160,17 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         noop_sec = statistics.median(noop)
 
         # round-2 operator paths (timed separately; headline query set is
-        # kept stable across rounds for comparability)
-        extra = _extra_ops(spark, engine, sf_dir, SearchMode)
+        # kept stable across rounds for comparability).  Scaling
+        # subprocesses skip them (SPARK_GRAFT_EXTRAS=0): the scaling
+        # metric is build throughput, not the operator zoo.
+        if os.environ.get("SPARK_GRAFT_EXTRAS", "1") != "0":
+            extra = _extra_ops(spark, engine, sf_dir, SearchMode)
+            try:
+                extra["pipeline_scale"] = _pipeline_scale_bench(spark, sf_dir)
+            except Exception as e:  # pragma: no cover - keep bench robust
+                extra["pipeline_scale_error"] = repr(e)
+        else:
+            extra = {}
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         spark.stop()
@@ -322,6 +331,136 @@ def _training_metrics(spark, sf_dir: str) -> dict:
     }
 
 
+def _pipeline_scale_bench(spark, sf_dir: str) -> dict:
+    """Training-data pipeline operators at >=1M rows (round-3: the 100-TB
+    claims get a measured anchor instead of 500-row smoke numbers).
+
+    The corpus is the sf documents table replicated to
+    ``SPARK_GRAFT_PIPELINE_ROWS`` (default 1.28M) with a controlled
+    duplicate structure: replica 0 = original, replica 1 = near-dup
+    (2-token suffix; exact dup for every 50th doc), replicas >= 2 get
+    every token salted with the replica id so they share no shingles —
+    near-dup pairs stay bounded at one per source doc instead of
+    exploding quadratically inside each replica group.  ANN indexes
+    build over the embeddings table replicated past 1M vectors with a
+    per-replica single-dimension jitter."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline import dedup
+    from search_engine_spark.pipeline.similarity import LshIndex
+
+    out: dict = {}
+    target = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS", "1280000"))
+    n_parts = max(64, spark.sparkContext.defaultParallelism * 2)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_src = docs.count()
+    reps = max(2, target // n_src)
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    salted = F.regexp_replace(
+        F.col("text"),
+        F.lit(r"(\w+)"),
+        F.concat(F.lit("$1z"), F.col("rep").cast("string")),
+    )
+    text = (
+        F.when(F.col("rep") == 0, F.col("text"))
+        .when(
+            (F.col("rep") == 1) & (F.col("doc_id") % 50 == 0), F.col("text")
+        )
+        .when(
+            F.col("rep") == 1,
+            F.concat(F.col("text"), F.lit(" zdup zdup")),
+        )
+        .otherwise(salted)
+    )
+    big = (
+        docs.crossJoin(rep)
+        .repartition(n_parts)
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+            text.alias("text"),
+        )
+        .cache()
+    )
+    n_big = big.count()
+    out["corpus_rows"] = int(n_big)
+
+    t = time.time()
+    n_groups = dedup.exact_dup_groups(big, "doc_id", "text").count()
+    dt = time.time() - t
+    out["dedup_exact_sec"] = round(dt, 2)
+    out["dedup_exact_rows_per_sec"] = round(n_big / dt, 1)
+    out["dedup_exact_groups"] = int(n_groups)
+
+    t = time.time()
+    n_sigs = dedup.minhash_signatures(big, "doc_id", "text").count()
+    dt = time.time() - t
+    out["minhash_sig_sec"] = round(dt, 2)
+    out["minhash_sig_rows_per_sec"] = round(n_sigs / dt, 1)
+
+    t = time.time()
+    n_pairs = dedup.minhash_dedup_pairs(big, "doc_id", "text").count()
+    dt = time.time() - t
+    out["minhash_lsh_neardup_sec"] = round(dt, 2)
+    out["minhash_lsh_rows_per_sec"] = round(n_big / dt, 1)
+    out["neardup_pairs"] = int(n_pairs)
+
+    t = time.time()
+    dedup.simhash_table(big, "doc_id", "text").agg(
+        F.sum("simhash")
+    ).collect()
+    dt = time.time() - t
+    out["simhash_sec"] = round(dt, 2)
+    out["simhash_rows_per_sec"] = round(n_big / dt, 1)
+    big.unpersist()
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_emb = emb.count()
+    ereps = max(2, target * 4 // 5 // n_emb)
+    erep = spark.range(ereps).select(F.col("id").alias("rep"))
+    jittered = F.transform(
+        F.col("embedding"),
+        lambda v, i: v.cast("double")
+        + F.when(
+            i == (F.col("rep") % 64),
+            ((F.col("rep") % 13) - 6).cast("double") * 0.02,
+        ).otherwise(0.0),
+    )
+    bigemb = (
+        emb.crossJoin(erep)
+        .repartition(n_parts)
+        .select(
+            (F.col("vec_id") * ereps + F.col("rep")).alias("vec_id"),
+            jittered.alias("embedding"),
+        )
+    )
+    qvecs = [
+        [float(v) for v in r.embedding]
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    d = _tf.mkdtemp(prefix="se_bench_ann1m_")
+    try:
+        t = time.time()
+        idx = LshIndex.build(bigemb, d, n_planes=6)
+        dt = time.time() - t
+        n_vecs = n_emb * ereps
+        out["ann_rows"] = int(n_vecs)
+        out["ann_lsh_build_1m_sec"] = round(dt, 2)
+        out["ann_lsh_build_rows_per_sec"] = round(n_vecs / dt, 1)
+        lats = []
+        for qv in qvecs:
+            t = time.time()
+            idx.topk(qv, k=10).collect()
+            lats.append(time.time() - t)
+        out["ann_lsh_probe_1m_p50_sec"] = round(statistics.median(lats), 4)
+        out["ann_lsh_probe_1m_max_sec"] = round(max(lats), 4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _cpu_sample() -> list[int]:
     try:
         with open("/proc/stat") as fh:
@@ -423,6 +562,7 @@ def main() -> None:
                     os.environ,
                     SPARK_GRAFT_REPLICAS=str(scale_reps),
                     SPARK_GRAFT_BUILD_TRIALS="1",
+                    SPARK_GRAFT_EXTRAS="0",
                 )
                 out = subprocess.run(
                     [sys.executable, __file__, "--cores", str(c),

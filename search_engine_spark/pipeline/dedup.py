@@ -73,6 +73,74 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_sig_col(text_col: str, n_hashes: int, shingle_k: int, seed: int):
+    """JVM-expression SPECIFICATION of the signature function (the DuckDB
+    contract oracle mirrors this).  Do NOT use it on large frames:
+    Catalyst re-inlines the shared shingle/token subtrees into every
+    per-element lambda — the tokenizer regex and md5 run once per
+    (shingle x hash) instead of once per doc, measured ~1000x slower at
+    100k+ rows.  ``minhash_signatures`` evaluates the bit-identical
+    in-batch kernel instead (integer md5-prefix + (a*x+b) mod p math is
+    exact in both runtimes)."""
+    params = minhash_params(n_hashes, seed)
+    sh = shingles_col(text_col, shingle_k)
+    xs = F.transform(sh, _shingle_hash)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(xs, lambda x: (a * x + b) % F.lit(MINHASH_P))
+            )
+            for a, b in params
+        ]
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, sh: array<string> distinct shingles) via one in-batch pass —
+    the set twin of ``shingles_col`` without the per-element re-inline
+    cost (element order differs; all consumers are set operations)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    token_re = re.compile(TOKEN_RE)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sh": [
+                        sorted(_py_shingles(t, k, token_re))
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("sh", T.ArrayType(T.StringType())),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def _py_shingles(text: str, k: int, token_re) -> set[str]:
+    """Python twin of ``shingles_col``: positions 0..max(n-k, 0) of the
+    token list (short docs yield their full token run; empty docs yield
+    the empty-string shingle), distinct."""
+    toks = token_re.findall(text.lower()) if text is not None else []
+    upper = max(len(toks) - k, 0)
+    return {" ".join(toks[i : i + k]) for i in range(upper + 1)}
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -81,19 +149,52 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 7,
 ) -> DataFrame:
-    """-> (id, sig: array<long> length n_hashes).  One projection pass."""
+    """-> (id, sig: array<long> length n_hashes).  One Arrow-batched
+    projection pass; bit-identical to :func:`minhash_sig_col` (asserted
+    in tests) but evaluated in-batch — shingling and hashing run once
+    per doc instead of once per (shingle x hash)."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     params = minhash_params(n_hashes, seed)
-    sh = shingles_col(text_col, shingle_k)
-    xs = F.transform(sh, _shingle_hash)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(xs, lambda x: (a * x + b) % F.lit(MINHASH_P))
-            )
-            for a, b in params
+    ab = np.array(params, dtype=np.int64)  # (n_hashes, 2)
+    token_re = re.compile(TOKEN_RE)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _py_shingles(text, shingle_k, token_re)
+                xs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                # (a*x+b) % p: a < 2^20, x < 2^32 -> product < 2^52, no
+                # int64 overflow; min over shingles per hash function
+                sigs.append(
+                    (
+                        (ab[:, :1] * xs[None, :] + ab[:, 1:]) % MINHASH_P
+                    ).min(axis=1).tolist()
+                )
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def _cap_buckets(
@@ -193,10 +294,22 @@ def jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs -> (id1, id2, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, shingle_k).alias("sh")
+    """Exact shingle-set Jaccard for candidate pairs -> (id1, id2, jaccard).
+
+    Shingles are computed in-batch (see ``minhash_signatures``) and only
+    for docs that appear in a candidate pair (semi-join first): at web
+    scale the pair table is orders of magnitude smaller than the corpus,
+    and the corpus rows that never made a candidate bucket must not pay
+    the shingling pass."""
+    cand_ids = (
+        pairs.select(F.col("id1").alias("cid"))
+        .unionByName(pairs.select(F.col("id2").alias("cid")))
+        .distinct()
     )
+    needed = df.join(
+        cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sh = shingle_table(needed, id_col, text_col, shingle_k)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -363,6 +476,12 @@ def simhash_col(text_col: str, bits: int = 32):
 
     Per token: h = 32-bit md5-prefix hash; bit i contributes +tf if set
     else -tf; fingerprint bit i = 1 iff the sum is positive.
+
+    JVM-expression SPECIFICATION only (the DuckDB oracle mirrors it) —
+    the per-distinct-token tf filter is O(tokens^2) per doc and Catalyst
+    re-inlines the token array into each of the 32 bit sums (measured
+    ~100 rows/s at corpus scale).  ``simhash_table`` evaluates the
+    bit-identical in-batch kernel instead.
     """
     toks = tokens_col(text_col)
     uniq = F.array_distinct(toks)
@@ -391,10 +510,64 @@ def simhash_col(text_col: str, bits: int = 32):
     return out
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), simhash_col(text_col).alias("simhash")
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) via one in-batch pass — bit-identical to
+    :func:`simhash_col` (asserted in tests): same md5-prefix token hash,
+    same +-tf bit sums, strict-positive bit rule."""
+    import hashlib
+    import re
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    token_re = re.compile(TOKEN_RE)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for text in pdf[text_col]:
+                toks = token_re.findall(text.lower()) if text else []
+                tfs = Counter(toks)
+                if not tfs:
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                        for t in tfs
+                    ),
+                    dtype=np.int64,
+                    count=len(tfs),
+                )
+                tf = np.fromiter(tfs.values(), dtype=np.int64, count=len(tfs))
+                # (n_tokens, bits) sign matrix: +tf where bit set, else -tf
+                bitset = (hs[:, None] >> np.arange(bits)[None, :]) & 1
+                sums = (np.where(bitset == 1, tf[:, None], -tf[:, None])).sum(
+                    axis=0
+                )
+                out.append(
+                    int(
+                        (
+                            (sums > 0).astype(np.int64)
+                            << np.arange(bits, dtype=np.int64)
+                        ).sum()
+                    )
+                )
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": out})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
     )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def simhash_near_pairs(

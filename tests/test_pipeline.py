@@ -339,3 +339,56 @@ def test_ivf_deterministic_across_builds(spark, emb, tmp_path_factory):
     ra = [(r.id, r.cos) for r in a.topk(qvec, k=5).collect()]
     rb = [(r.id, r.cos) for r in b.topk(qvec, k=5).collect()]
     assert ra == rb
+
+
+def test_minhash_kernel_bit_matches_expression_spec(docs):
+    """The in-batch signature/shingle kernels must bit-match their JVM
+    expression specifications (integer md5-prefix + modular math is
+    exact in both runtimes) — same guarantee the ANN assigners have."""
+    from pyspark.sql import functions as F
+
+    sample = docs.limit(40)
+    spec = {
+        r.id: list(r.sig)
+        for r in sample.select(
+            F.col("doc_id").alias("id"),
+            dedup.minhash_sig_col("text", 16, 3, 7).alias("sig"),
+        ).collect()
+    }
+    got = {
+        r.id: list(r.sig)
+        for r in dedup.minhash_signatures(sample, "doc_id", "text").collect()
+    }
+    assert got == spec
+
+    # shingle_table: same SETS as shingles_col (order is unspecified)
+    spec_sh = {
+        r.id: set(r.sh)
+        for r in sample.select(
+            F.col("doc_id").alias("id"),
+            dedup.shingles_col("text", 3).alias("sh"),
+        ).collect()
+    }
+    got_sh = {
+        r.id: set(r.sh)
+        for r in dedup.shingle_table(sample, "doc_id", "text", 3).collect()
+    }
+    assert got_sh == spec_sh
+
+
+def test_simhash_kernel_bit_matches_expression_spec(docs):
+    from pyspark.sql import functions as F
+
+    sample = docs.limit(40)
+    spec = {
+        r.id: r.simhash
+        for r in sample.select(
+            F.col("doc_id").alias("id"),
+            dedup.simhash_col("text").alias("simhash"),
+        ).collect()
+    }
+    got = {
+        r.id: r.simhash
+        for r in dedup.simhash_table(sample, "doc_id", "text").collect()
+    }
+    assert got == spec
