@@ -48,7 +48,9 @@ def cmd_build(args: argparse.Namespace) -> None:
         n_term_buckets=args.term_buckets,
         idf_threshold=args.idf_threshold,
     )
-    corpus = spark.read.parquet(args.corpus)
+    from search_engine_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, args.corpus)
     builder = IndexBuilder(spark, args.index, cfg)
     t0 = time.time()
     builder.build_docs(corpus)

@@ -26,8 +26,22 @@ from pyspark.sql import functions as F
 SORT_KEYS = ["repo", "path", "commit"]
 
 
-def load_corpus(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def load_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Corpus from a path OR a catalog table identifier.
+
+    The north rule's deployment reads an Iceberg table of source-code
+    repositories: pass ``catalog.db.corpus`` (any dotted identifier a
+    configured catalog resolves — Iceberg via
+    ``spark.sql.catalog.<name>`` settings on spark-submit; temp views in
+    tests) and the scan goes through ``spark.read.table`` with the
+    catalog's partition pruning / column stats.  Anything that looks
+    like a filesystem location (contains ``/`` or a URI scheme) stays a
+    parquet path read."""
+    if "/" not in source and "://" not in source:
+        return spark.read.table(source).select(
+            "repo", "path", "commit", "lang", "content"
+        )
+    return spark.read.parquet(source)
 
 
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"

@@ -268,3 +268,19 @@ def test_jsonl_corpus_source_round_trips(spark, tmp_path):
     assert {tuple(r) for r in loaded.collect()} == {
         tuple(r) for r in src.collect()
     }
+
+
+def test_load_corpus_accepts_catalog_table_identifier(spark):
+    """The north rule reads an Iceberg corpus TABLE: a dotted/bare
+    identifier routes through spark.read.table (resolved by whatever
+    catalog is configured — a temp view here), a path through parquet."""
+    from search_engine_spark.sources.corpus import load_corpus
+    from search_engine_spark.testing.synth import synth_corpus
+
+    rows = synth_corpus(n_docs=10, seed=3)
+    spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content"
+    ).createOrReplaceTempView("corpus_tbl")
+    got = load_corpus(spark, "corpus_tbl")
+    assert got.columns == ["repo", "path", "commit", "lang", "content"]
+    assert got.count() == 10
