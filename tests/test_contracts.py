@@ -103,3 +103,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"qid", "rank", "doc_id", "score", "path"} <= set(df.columns)
+
+
+def test_data_fingerprint_invalidates_on_source_change(tmp_path):
+    """Regenerated testdata must retire cached /tmp indexes: the cache
+    tag's fingerprint changes when a source parquet's bytes/mtime do."""
+    import os
+    import time
+
+    from search_engine_spark.contracts import data_fingerprint
+
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"one")
+    f1 = data_fingerprint(str(tmp_path))
+    assert f1 == data_fingerprint(str(tmp_path))  # stable
+    time.sleep(0.01)
+    p.write_bytes(b"two!")
+    assert data_fingerprint(str(tmp_path)) != f1
+    # missing table -> still a stable tag, not an error
+    os.remove(p)
+    assert data_fingerprint(str(tmp_path)) == data_fingerprint(str(tmp_path))
