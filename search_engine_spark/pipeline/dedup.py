@@ -403,6 +403,102 @@ def embedding_neardup_pairs(
     )
 
 
+def components_two_phase(
+    pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of graph diameter, the scale path for
+    adversarially long chains where min-label propagation needs
+    O(diameter) rounds.  Same output contract as
+    :func:`dedup_components`: (id, component = min id of the component)
+    for every vertex appearing in ``pairs``.
+
+    Each round is two groupBy-min aggregations + joins on the EDGE set
+    (never the corpus); per-round ``localCheckpoint`` truncates lineage.
+
+    * large-star: every node's strictly-larger neighbors re-attach to
+      ``m(u) = min(Γ(u) ∪ {u})``;
+    * small-star: edges directed high→low re-attach each smaller
+      neighbor (and the node itself) to the node's minimum neighbor.
+
+    Converges when the edge set is a fixpoint — at that point edges
+    form per-component stars (member → root=min).
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        both = (
+            edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+        )
+        lg = (
+            both.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        hl = lg.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = hl.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            hl.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        edges = sm.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).localCheckpoint()
+        # fixpoint signature: count + order-insensitive XOR of two row
+        # hashes (sum would overflow long under ANSI; edges are distinct
+        # so XOR never self-cancels)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h1"),
+            F.expr("bit_xor(xxhash64(v, u))").alias("h2"),
+        ).head()
+        sig = (int(sig.n), int(sig.h1 or 0), int(sig.h2 or 0))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"components_two_phase did not converge in {max_iter} rounds"
+        )
+    # stars: member -> root; roots get their own (root, root) row, and
+    # every pairs-vertex must appear (a vertex can be its own star)
+    labels = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    )
+    roots = vertices.join(
+        labels.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
+    return labels.unionByName(roots)
+
+
 def dedup_components(
     pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:

@@ -406,3 +406,44 @@ def test_simhash_kernel_bit_matches_expression_spec(docs):
         for r in dedup.simhash_table(sample, "doc_id", "text").collect()
     }
     assert got == spec
+
+
+def test_two_phase_components_match_label_propagation(spark):
+    """Large-star/small-star labels == min-label propagation labels on
+    random graphs (both = component-min contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    pairs = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "id1 long, id2 long"
+    )
+    want = {
+        (r.id, r.component)
+        for r in dedup.dedup_components(pdf, max_iter=50).collect()
+    }
+    got = {
+        (r.id, r.component)
+        for r in dedup.components_two_phase(pdf).collect()
+    }
+    assert got == want
+
+
+def test_two_phase_components_handle_long_chains(spark):
+    """A 400-node chain (diameter 399): label propagation at the default
+    round budget correctly refuses; two-phase converges in O(log n)
+    rounds with the right single component."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "id1 long, id2 long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup.dedup_components(chain, max_iter=8)
+    rows = dedup.components_two_phase(chain, max_iter=12).collect()
+    assert len(rows) == 400
+    assert {r.component for r in rows} == {0}
