@@ -96,9 +96,12 @@ def test_correct_many_is_one_job_and_matches_singles(setup):
     batch, n_batch = jobs_for(lambda: corrector.correct_many(tokens))
     _one, n_one = jobs_for(lambda: corrector.correct_many(tokens[:1]))
     assert batch == singles
-    # ONE action regardless of batch size (AQE may split an action into
-    # a few jobs, but the count must not scale with the token count)
-    assert n_batch == n_one, (n_batch, n_one)
+    # ONE action regardless of batch size: AQE splits an action into a
+    # run-to-run-varying handful of jobs, so assert the count does not
+    # SCALE with the token count (a per-token implementation would cost
+    # ~len(tokens) * n_one)
+    assert n_batch <= 2 * n_one, (n_batch, n_one)
+    assert n_batch < len(tokens) * n_one, (n_batch, n_one)
 
 
 def test_invocab_token_not_corrected(setup):
