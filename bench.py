@@ -419,6 +419,16 @@ def _pipeline_scale_bench(spark, sf_dir: str) -> dict:
     dt = time.time() - t
     out["simhash_sec"] = round(dt, 2)
     out["simhash_rows_per_sec"] = round(n_big / dt, 1)
+
+    from search_engine_spark.pipeline import textstats
+
+    t = time.time()
+    textstats.fingerprints(big, "doc_id", "text").agg(
+        F.sum("n_fingerprints")
+    ).collect()
+    dt = time.time() - t
+    out["winnowing_sec"] = round(dt, 2)
+    out["winnowing_rows_per_sec"] = round(n_big / dt, 1)
     big.unpersist()
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -461,6 +471,25 @@ def _pipeline_scale_bench(spark, sf_dir: str) -> dict:
             lats.append(time.time() - t)
         out["ann_lsh_probe_1m_p50_sec"] = round(statistics.median(lats), 4)
         out["ann_lsh_probe_1m_max_sec"] = round(max(lats), 4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    from search_engine_spark.pipeline.similarity import IvfIndex
+
+    d = _tf.mkdtemp(prefix="se_bench_ivf1m_")
+    try:
+        t = time.time()
+        idx = IvfIndex.build(bigemb, d, n_centroids=64)
+        dt = time.time() - t
+        out["ann_ivf_build_1m_sec"] = round(dt, 2)
+        out["ann_ivf_build_rows_per_sec"] = round(n_emb * ereps / dt, 1)
+        lats = []
+        for qv in qvecs:
+            t = time.time()
+            idx.topk(qv, k=10).collect()
+            lats.append(time.time() - t)
+        out["ann_ivf_probe_1m_p50_sec"] = round(statistics.median(lats), 4)
+        out["ann_ivf_probe_1m_max_sec"] = round(max(lats), 4)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -447,3 +447,31 @@ def test_two_phase_components_handle_long_chains(spark):
     rows = dedup.components_two_phase(chain, max_iter=12).collect()
     assert len(rows) == 400
     assert {r.component for r in rows} == {0}
+
+
+def test_fingerprints_kernel_bit_matches_expression_spec(spark, docs):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline import textstats as ts
+
+    sample = docs.limit(40).unionByName(
+        # short docs exercise the shorter-than-one-window path
+        spark.createDataFrame(
+            [(90001, "one two"), (90002, ""), (90003, "a b c d e f g")],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text")),
+        allowMissingColumns=True,
+    )
+    spec = {
+        r.id: (r.n_fingerprints, r.min_fp, r.max_fp)
+        for r in sample.select(
+            F.col("doc_id").alias("id"), *ts.fingerprints_cols("text")
+        ).collect()
+    }
+    got = {
+        r.id: (r.n_fingerprints, r.min_fp, r.max_fp)
+        for r in ts.fingerprints(sample, "doc_id", "text").collect()
+    }
+    assert got == spec
