@@ -295,8 +295,16 @@ class SearchEngine:
         driver memory stay O(chunk) no matter how many queries; without
         it the slices are unioned lazily (fine up to a few hundred
         slices)."""
+        import os
         from functools import reduce
 
+        if output_path is not None and os.path.exists(output_path):
+            # append-mode slices into a dir with prior results would
+            # silently merge two runs
+            raise ValueError(
+                f"output_path {output_path!r} already exists; point each "
+                f"run at a fresh directory"
+            )
         if len(queries) <= chunk_size and output_path is None:
             return self.search_batch(queries, num_return, use_wand)
         outs = []
