@@ -260,6 +260,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs)
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster labels via the O(log n) large-star/
+    small-star algorithm (the long-chain scale path) — label-identical
+    to min-label propagation, so it shares the recursive-CTE oracle."""
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+    return dedup.components_two_phase(pairs)
+
+
 def _sql_dedup_components() -> str:
     """Recursive-CTE oracle: reachability closure, component = min
     reachable id (DuckDB explores the closure; Spark converges by label
@@ -1036,6 +1046,9 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "dedup_components_star": (
+        q_dedup_components_star, _sql_dedup_components(),
+    ),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     # full hash-checked oracles (quantizer constants + probe sets inlined
