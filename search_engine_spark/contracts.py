@@ -605,8 +605,177 @@ LIMIT {SEMANTIC_RETURN}
 """
 
 
+# -------------------------------------------------- spelling (B4/B10/Q23)
+#
+# Reference: trigram index build ``ingestion.py:225-333``; correction
+# funnel (Jaccard top-75 -> edit-distance top-50 -> argmax df)
+# ``inverted_index.py:995-1046``.  Trigrams are '$'-padded: '$ab' prefix,
+# interior 3-grams, 'yz$' suffix ('$x$' for 1-char tokens), as a SET.
+
+# misspellings of driver-``documents`` vocabulary terms (stream/dup/
+# query/window/vector/join/merge) + one no-candidate control ('qqqq'
+# shares no trigram with anything, so it corrects to itself)
+SPELL_PROBES = [
+    "stram", "dupp", "qurey", "windoq", "vectr", "joim", "mrege", "qqqq",
+]
+
+
+def _tri_list_sql(col: str) -> str:
+    """DuckDB expression for the padded-trigram SET of a token column —
+    written against the documented trigram definition, independent of
+    ``functions/trigrams.py`` (1-based inclusive DuckDB slices)."""
+    return f"""CASE WHEN len({col}) = 1 THEN ['$' || {col} || '$']
+    ELSE list_distinct(list_concat(list_concat(
+      ['$' || {col}[1:2]],
+      list_transform(range(1, len({col}) - 1), i -> {col}[i:i+2])),
+      [{col}[len({col})-1:] || '$'])) END"""
+
+
+# vocabulary = body tokens UNION title tokens; the contract corpus titles
+# are the zero-padded paths, tokenizing to ('p%012d', 'txt').  df counts
+# distinct docs with the term in either field (a posting row exists when
+# tf_title > 0 or tf_body > 0).
+_VOCAB_TRIS_CTES = f"""
+WITH tokl AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+tflat AS (
+  SELECT doc_id, unnest(l) AS tok FROM tokl
+  UNION ALL SELECT doc_id, printf('p%012d', doc_id) AS tok FROM documents
+  UNION ALL SELECT doc_id, 'txt' AS tok FROM documents
+),
+vocab AS (
+  SELECT tok AS token, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tflat GROUP BY tok
+),
+tris AS (SELECT token, df, {_tri_list_sql('token')} AS ts FROM vocab),
+vt AS (
+  SELECT token, df, len(ts)::BIGINT AS n_trigrams, unnest(ts) AS trigram
+  FROM tris
+)
+"""
+
+_PROBE_VALUES = ", ".join(f"({t!r})" for t in SPELL_PROBES)
+
+_PROBE_CTES = f""",
+probe AS (
+  SELECT tok AS qtok, {_tri_list_sql('tok')} AS qts
+  FROM (VALUES {_PROBE_VALUES}) AS v(tok)
+),
+pt AS (
+  SELECT qtok, len(qts)::BIGINT AS nq, unnest(qts) AS trigram FROM probe
+),
+cand AS (
+  SELECT p.qtok, p.nq, v.token, v.n_trigrams, v.df,
+         count(*)::BIGINT AS overlap
+  FROM pt p JOIN vt v USING (trigram)
+  GROUP BY p.qtok, p.nq, v.token, v.n_trigrams, v.df
+),
+ranked AS (
+  SELECT qtok, token, overlap, n_trigrams, df,
+         row_number() OVER (
+           PARTITION BY qtok
+           ORDER BY (overlap / (n_trigrams + nq - overlap)) DESC, token
+         )::BIGINT AS rank
+  FROM cand
+)
+"""
+
+
+def _ensure_trigrams(engine) -> None:
+    path = engine.store.dir / "trigrams"
+    if not os.path.isdir(str(path)):
+        from search_engine_spark.query.spelling import build_trigram_table
+
+        build_trigram_table(engine.store)
+
+
+def q_spelling_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full vocabulary trigram table (B4 extraction + B10 merge)."""
+    engine = get_engine(spark, sf_dir)
+    _ensure_trigrams(engine)
+    tri = spark.read.parquet(str(engine.store.dir / "trigrams"))
+    return tri.select(
+        "token",
+        "trigram",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+SQL_SPELLING_TRIGRAMS = f"""{_VOCAB_TRIS_CTES}
+SELECT token, trigram, n_trigrams, df FROM vt
+"""
+
+
+def q_spelling_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel 1: distributed per-token Jaccard top-10 candidate pool."""
+    from search_engine_spark.functions.trigrams import get_trigrams_from_token
+    from search_engine_spark.query.spelling import SpellingCorrector
+
+    engine = get_engine(spark, sf_dir)
+    _ensure_trigrams(engine)
+    sc = SpellingCorrector(
+        spark, engine.store, jaccard_pool=10, cache_table=False
+    )
+    tok_tris = {
+        t: tuple(sorted(get_trigrams_from_token(t))) for t in SPELL_PROBES
+    }
+    pools = sc._jaccard_pools({t: x for t, x in tok_tris.items() if x})
+    rows = [
+        (q, i + 1, tok, int(over), int(nt), int(df))
+        for q, lst in pools.items()
+        for i, (tok, nt, df, over) in enumerate(lst)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "qtok string, rank long, token string, overlap long, "
+        "n_trigrams long, df long",
+    )
+
+
+SQL_SPELLING_JACCARD = f"""{_VOCAB_TRIS_CTES}{_PROBE_CTES}
+SELECT qtok, rank, token, overlap, n_trigrams, df
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_spelling_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full correction funnel (Q23): Jaccard 75 -> edit-distance 50 ->
+    argmax df; tokens with no shared trigram map to themselves."""
+    from search_engine_spark.query.spelling import SpellingCorrector
+
+    engine = get_engine(spark, sf_dir)
+    _ensure_trigrams(engine)
+    sc = SpellingCorrector(spark, engine.store, cache_table=False)
+    res = sc.correct_many(SPELL_PROBES)
+    return spark.createDataFrame(
+        sorted(res.items()), "qtok string, corrected string"
+    )
+
+
+SQL_SPELLING_CORRECT = f"""{_VOCAB_TRIS_CTES}{_PROBE_CTES},
+ed AS (
+  SELECT qtok, token, df,
+         row_number() OVER (
+           PARTITION BY qtok ORDER BY levenshtein(token, qtok), token
+         ) AS ed_rn
+  FROM ranked WHERE rank <= 75
+),
+best AS (
+  SELECT qtok, token,
+         row_number() OVER (PARTITION BY qtok ORDER BY df DESC, token) AS b
+  FROM ed WHERE ed_rn <= 50
+)
+SELECT p.qtok, coalesce(b.token, p.qtok) AS corrected
+FROM (SELECT qtok FROM probe) p
+LEFT JOIN best b ON b.qtok = p.qtok AND b.b = 1
+"""
+
+
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
+    "spelling_trigram_table": (q_spelling_trigrams, SQL_SPELLING_TRIGRAMS),
+    "spelling_jaccard_topk": (q_spelling_jaccard, SQL_SPELLING_JACCARD),
+    "spelling_correct": (q_spelling_correct, SQL_SPELLING_CORRECT),
     "search_semantic_topk": (q_search_semantic, _sql_search_semantic()),
     "docs_table": (q_docs_table, SQL_DOCS_TABLE),
     "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
