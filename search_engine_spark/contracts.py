@@ -56,10 +56,12 @@ _ENGINES: dict[str, object] = {}
 
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
-# shared CTE prologue for scoring oracles
-_SCORE_CTES = f"""
+# shared CTE prologue for scoring oracles, parameterized on the SQL
+# tokenization of the ``documents.text`` column
+def _score_ctes(tok_sql: str) -> str:
+    return f"""
 WITH tokl AS (
-  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+  SELECT doc_id, {tok_sql} AS l FROM documents
 ),
 dl AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tokl),
 st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -67,6 +69,9 @@ flat AS (SELECT doc_id, unnest(l) AS tok FROM tokl),
 tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM flat GROUP BY doc_id, tok),
 dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok)
 """
+
+
+_SCORE_CTES = _score_ctes(_TOK_SQL)
 
 
 def _contrib_sql(term: str) -> str:
@@ -138,14 +143,22 @@ def data_fingerprint(sf_dir: str, tables: tuple = ("documents",)) -> str:
     return h.hexdigest()[:12]
 
 
-def get_engine(spark: SparkSession, sf_dir: str):
+def get_engine(
+    spark: SparkSession,
+    sf_dir: str,
+    config: EngineConfig | None = None,
+    variant: str = "",
+    corpus_fn=None,
+):
     """Build (or reuse) the contract index for an sf dir; returns
     SearchEngine.  Builds are resumable, so a cached partial build
-    completes instead of restarting."""
+    completes instead of restarting.  ``variant`` names an alternate
+    contract config (e.g. the code-tokenizer index) with its own cache."""
     from search_engine_spark.build.builder import IndexBuilder
     from search_engine_spark.query.engine import SearchEngine
 
-    key = os.path.abspath(sf_dir)
+    cfg = config or CONTRACT_CONFIG
+    key = f"{os.path.abspath(sf_dir)}|{variant}"
     if key in _ENGINES:
         return _ENGINES[key]
     # bump LAYOUT_V whenever the on-disk index layout changes — a stale
@@ -153,14 +166,14 @@ def get_engine(spark: SparkSession, sf_dir: str):
     # fingerprint retires caches when the source data itself changes
     LAYOUT_V = "v2-doclens-in-postings"
     tag = hashlib.sha256(
-        f"{key}|{LAYOUT_V}|{data_fingerprint(key)}".encode()
+        f"{key}|{LAYOUT_V}|{data_fingerprint(os.path.abspath(sf_dir))}".encode()
     ).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"se_contract_{tag}")
-    builder = IndexBuilder(spark, index_dir, CONTRACT_CONFIG)
-    corpus = corpus_from_documents(spark, sf_dir)
+    builder = IndexBuilder(spark, index_dir, cfg)
+    corpus = (corpus_fn or corpus_from_documents)(spark, sf_dir)
     if not os.path.isdir(os.path.join(index_dir, "stats")):
         builder.build_all(corpus, resume=True)
-    engine = SearchEngine(spark, index_dir, CONTRACT_CONFIG)
+    engine = SearchEngine(spark, index_dir, cfg)
     _ENGINES[key] = engine
     return engine
 
@@ -771,8 +784,81 @@ LEFT JOIN best b ON b.qtok = p.qtok AND b.b = 1
 """
 
 
+# ------------------------------------------- code-aware tokenizer (payload)
+#
+# The input_hint payload is source code; ``tokenizer="code"`` splits
+# identifiers (camelCase / PascalCase / ACRONYMWord / snake_case) into
+# lowercase subtokens (``functions/tokenizer.py:code_tokenize``), end to
+# end: corpus tokenization, doc lengths, df, fielded BM25 and query-side
+# tokenization all run on subtokens.  The contract corpus is the driver
+# ``documents`` text with spaces replaced by underscores — every document
+# becomes chains of snake_case identifiers, so the subtoken splitter must
+# recover the exact original token stream for the scores to hash-match;
+# the camel rules are exercised by the query string ("bigStream
+# fastScan" -> big, stream, fast, scan) and by unit tests (driver text is
+# lowercase prose, so doc-side camel boundaries never fire here).
+
+CODE_CONFIG = EngineConfig(
+    tokenizer="code",
+    idf_threshold=-1.0e18,
+    chunk_docs=1024,
+    chunks_per_batch=8,
+    n_term_buckets=8,
+    block_docs=128,
+)
+
+# SQL twin of code_tokenize: acronym split, camel split, lowercase,
+# [a-z0-9]+ runs (underscore is a separator)
+_CODE_TOK_SQL = (
+    "regexp_extract_all(lower(regexp_replace(regexp_replace("
+    "replace(text, ' ', '_'), "
+    "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+    "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[a-z0-9]+')"
+)
+
+
+def corpus_from_documents_code(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents.text with spaces -> underscores: snake_case chains."""
+    base = corpus_from_documents(spark, sf_dir)
+    return base.withColumn(
+        "content", F.regexp_replace(F.col("content"), " ", "_")
+    )
+
+
+CODE_QUERY_TERMS = ["big", "stream", "fast", "scan"]
+
+
+def q_search_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked OR retrieval over the code-tokenized index; the camelCase
+    query tokenizes to the 4 subtokens the oracle chain scores."""
+    engine = get_engine(
+        spark,
+        sf_dir,
+        config=CODE_CONFIG,
+        variant="code",
+        corpus_fn=corpus_from_documents_code,
+    )
+    return _ranked(engine, "bigStream fastScan", SearchMode.OR, 20)
+
+
+SQL_SEARCH_CODE = (
+    _score_ctes(_CODE_TOK_SQL)
+    + f"""
+SELECT c.doc_id, round({_score_chain(CODE_QUERY_TERMS)}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT doc_id FROM tf
+      WHERE tok IN ({", ".join(repr(t) for t in CODE_QUERY_TERMS)})) c
+JOIN dl d ON d.doc_id = c.doc_id, st
+ORDER BY {_score_chain(CODE_QUERY_TERMS)} DESC, c.doc_id
+LIMIT 20
+"""
+)
+
+
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
+    "search_code_tokenizer_topk": (q_search_code, SQL_SEARCH_CODE),
     "spelling_trigram_table": (q_spelling_trigrams, SQL_SPELLING_TRIGRAMS),
     "spelling_jaccard_topk": (q_spelling_jaccard, SQL_SPELLING_JACCARD),
     "spelling_correct": (q_spelling_correct, SQL_SPELLING_CORRECT),

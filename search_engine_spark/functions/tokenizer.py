@@ -53,9 +53,34 @@ def simple_tokenize(text: str) -> list[str]:
     return SIMPLE_TOKREGEX.findall(text.lower())
 
 
+# ----- code-aware subtoken splitting (the input_hint payload is source
+# code; identifier-aware tokenization lets `getValue`, `get_value` and
+# `GetValue` all match a `get value` query).  Boundary rules are the
+# standard two-regex camel split (acronym-then-word first, then
+# lower/digit-to-upper), followed by lowercase + `[a-z0-9]+` runs — the
+# underscore is a separator here, which also splits snake_case.  Each
+# step is replicable in SQL (`regexp_replace(..., 'g')` +
+# `regexp_extract_all`), so DuckDB oracles can tokenize identically.
+_CODE_ACRONYM = re.compile(r"([A-Z]+)([A-Z][a-z])")
+_CODE_CAMEL = re.compile(r"([a-z0-9])([A-Z])")
+CODE_TOKREGEX = re.compile(r"[a-z0-9]+")
+
+
+def code_tokenize(text: str) -> list[str]:
+    """camelCase/PascalCase/UPPERCamel/snake_case -> lowercase subtokens.
+
+    ``HTTPServer`` -> [http, server]; ``getValue2X`` -> [get, value2, x];
+    ``read_parquet`` -> [read, parquet].
+    """
+    t = _CODE_ACRONYM.sub(r"\1 \2", text)
+    t = _CODE_CAMEL.sub(r"\1 \2", t)
+    return CODE_TOKREGEX.findall(t.lower())
+
+
 _TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "simplemma": simplemma_tokenize,
     "simple": simple_tokenize,
+    "code": code_tokenize,
 }
 
 

@@ -101,3 +101,64 @@ def test_parity_with_real_simplemma():  # pragma: no cover
     ]
     for text in cases:
         assert simplemma_tokenize(text) == simplemma.simple_tokenizer(text.lower())
+
+
+# ----- code-aware subtoken tokenizer ("code") -----
+
+
+def test_code_tokenizer_boundaries():
+    from search_engine_spark.functions.tokenizer import code_tokenize
+
+    # camelCase / PascalCase / acronym-then-word / digit boundaries
+    assert code_tokenize("getValue") == ["get", "value"]
+    assert code_tokenize("HTTPServer") == ["http", "server"]
+    assert code_tokenize("XMLHttpRequest") == ["xml", "http", "request"]
+    assert code_tokenize("getValue2X") == ["get", "value2", "x"]
+    # snake_case and mixed identifiers; underscore is a separator
+    assert code_tokenize("read_parquet") == ["read", "parquet"]
+    assert code_tokenize("parseHTTPResponse_v2") == [
+        "parse", "http", "response", "v2",
+    ]
+    # code-ish line: punctuation separates, all variants meet in the middle
+    assert code_tokenize("def readParquet(file_path): return DF_2") == [
+        "def", "read", "parquet", "file", "path", "return", "df", "2",
+    ]
+    # plain lowercase prose is untouched (== simple minus underscores)
+    assert code_tokenize("key agg row scan") == ["key", "agg", "row", "scan"]
+
+
+def test_code_tokenizer_registered():
+    from search_engine_spark.functions.tokenizer import get_tokenizer
+
+    assert get_tokenizer("code")("aB") == ["a", "b"]
+
+
+def test_code_index_matches_identifier_variants(spark, tmp_path):
+    """An index built with tokenizer='code' retrieves camelCase, snake_case
+    and PascalCase spellings of the same identifier for one query."""
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.parser import SearchMode
+    from search_engine_spark.query.engine import SearchEngine
+
+    rows = [
+        ("r", f"f{i}.py", "c", "python", content)
+        for i, content in enumerate([
+            "def getValue(self): pass",
+            "def get_value(x): pass",
+            "class GetValue: pass",
+            "completely unrelated tokens here",
+        ])
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    cfg = EngineConfig(
+        tokenizer="code", chunk_docs=8, chunks_per_batch=2,
+        n_term_buckets=4, idf_threshold=-1.0e18,
+    )
+    idx = str(tmp_path / "code_idx")
+    IndexBuilder(spark, idx, cfg).build_all(corpus)
+    eng = SearchEngine(spark, idx, cfg)
+    hits = eng.search("get value", SearchMode.AND, num_return=10).collect()
+    assert {r.doc_id for r in hits} == {0, 1, 2}
