@@ -475,3 +475,21 @@ def test_fingerprints_kernel_bit_matches_expression_spec(spark, docs):
         for r in ts.fingerprints(sample, "doc_id", "text").collect()
     }
     assert got == spec
+
+
+def test_fake_decode_batch_bit_identical_to_rowwise():
+    """The segmented-reduction batch kernel must reproduce the per-object
+    fake decode exactly (including empty payloads and batch edges)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    payloads = [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8))
+                for n in [0, 1, 2, 300, 257, 0, 4096, 17]]
+    pdf = pd.DataFrame({"id": range(len(payloads)), "payload": payloads})
+    got = multimodal._fake_decode_batch(pdf)
+    for i, buf in enumerate(payloads):
+        n, w, h, feat = multimodal._fake_decode(buf)
+        row = got.iloc[i]
+        assert (row["n_bytes"], row["width"], row["height"]) == (n, w, h)
+        assert list(row["feat"]) == feat, (i, list(row["feat"]), feat)
