@@ -618,6 +618,150 @@ LIMIT {SEMANTIC_RETURN}
 """
 
 
+# ------------------------------------------------- MLP re-rank (Q21/Q22)
+
+RERANK_CANDIDATES = 100
+RERANK_RETURN = 10
+
+
+def q_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-100 candidates -> 10-dim features (distributed stage-2
+    kernel pass) -> seeded MLP score -> top-10 (reference Q21/Q22,
+    ``inverted_index.py:1778-1832``)."""
+    from search_engine_spark.ranking.model import RankingModel
+
+    engine = get_engine(spark, sf_dir)
+    out = engine.search_reranked(
+        SEMANTIC_QUERY,
+        SearchMode.OR,
+        model=RankingModel.seeded(hidden=SEMANTIC_HIDDEN, seed=SEMANTIC_SEED),
+        num_return=RERANK_RETURN,
+    )
+    return out.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score"), "rank"
+    )
+
+
+def _sql_search_rerank() -> str:
+    """DuckDB twin of :func:`q_search_rerank`: same CTE machinery as the
+    semantic oracle (10 features + inlined seeded-MLP forward), with
+    candidates from BM25 top-``RERANK_CANDIDATES`` instead of cosine,
+    and the final order on the raw MLP score."""
+    from search_engine_spark.functions.tokenizer import simple_tokenize
+    from search_engine_spark.ranking.model import RankingModel
+
+    m = RankingModel.seeded(hidden=SEMANTIC_HIDDEN, seed=SEMANTIC_SEED)
+    tokens = simple_tokenize(SEMANTIC_QUERY)
+
+    base_cols, w_cols = [], []
+    for i, t in enumerate(tokens):
+        base_cols.append(
+            f"COALESCE((SELECT tf FROM tf WHERE tf.doc_id = c.doc_id"
+            f" AND tf.tok = '{t}'), 0)::DOUBLE AS tf{i}"
+        )
+        base_cols.append(
+            f"COALESCE((SELECT ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+            f" FROM dfs WHERE dfs.tok = '{t}'),"
+            f" ln((st.n + 0.5) / 0.5)) AS idf{i}"
+        )
+        base_cols.append(
+            f"CASE WHEN COALESCE((SELECT tf FROM tf WHERE tf.doc_id ="
+            f" c.doc_id AND tf.tok = '{t}'), 0) > 0"
+            f" THEN (list_position(d.l, '{t}') - 1)::DOUBLE / d.dl"
+            f" ELSE 1.0 END AS fo{i}"
+        )
+        w_cols.append(
+            f"(tf{i} / ((1.0 - {B}) + {B} * (dl / avgdl))) AS w{i}"
+        )
+
+    def chain(parts: list[str]) -> str:
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"({out} + {p})"
+        return out
+
+    contribs = [
+        f"(idf{i} * (w{i} * ({K1} + 1.0)) / (w{i} + {K1}))"
+        for i in range(len(tokens))
+    ]
+    bm25 = chain(contribs)
+    fo_mean = (
+        "(" + " + ".join(f"fo{i}" for i in range(len(tokens)))
+        + f") / {float(len(tokens))!r}"
+    )
+    fo_min = "least(" + ", ".join(
+        f"fo{i}" for i in range(len(tokens))
+    ) + ")"
+    feat_cols = [
+        f"{bm25} AS f0",
+        f"{bm25} AS f1",
+        "0.0 AS f2",
+        f"{fo_mean} AS f3",
+        "1.0 AS f4",
+        f"{fo_min} AS f5",
+        "1.0 AS f6",
+        "(dl / maxdl) AS f7",
+        "1.0 AS f8",
+        "0.0 AS f9",
+    ]
+    h1 = _mlp_layer_sql(
+        [f"f{i}" for i in range(10)], m.w["w1"], m.w["b1"], "h1_", True
+    )
+    h2 = _mlp_layer_sql(
+        [f"h1_{i}" for i in range(SEMANTIC_HIDDEN)],
+        m.w["w2"], m.w["b2"], "h2_", True,
+    )
+    out = _mlp_layer_sql(
+        [f"h2_{i}" for i in range(SEMANTIC_HIDDEN)],
+        m.w["w3"], m.w["b3"], "mlp_", False,
+    )[0].replace("AS mlp_0", "AS mlp_score")
+    tok_in = ", ".join(repr(t) for t in tokens)
+
+    return f"""
+WITH tokl AS (
+  SELECT doc_id, {_TOK_SQL} AS l FROM documents
+),
+dl AS (SELECT doc_id, l, len(l)::DOUBLE AS dl FROM tokl),
+st AS (SELECT count(*)::BIGINT AS n,
+              sum(len(l))::DOUBLE / count(*) AS avgdl,
+              max(len(l))::DOUBLE AS maxdl
+       FROM tokl),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM tokl),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM flat
+  WHERE tok IN ({tok_in})
+  GROUP BY doc_id, tok
+),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+cand AS (
+  SELECT c.doc_id
+  FROM (SELECT DISTINCT doc_id FROM tf) c
+  JOIN dl d ON d.doc_id = c.doc_id, st
+  ORDER BY {_score_chain(tokens)} DESC, c.doc_id
+  LIMIT {RERANK_CANDIDATES}
+),
+base AS (
+  SELECT c.doc_id, d.dl, st.avgdl, st.maxdl,
+         {", ".join(base_cols)}
+  FROM cand c JOIN dl d ON d.doc_id = c.doc_id, st
+),
+wts AS (
+  SELECT *, {", ".join(w_cols)} FROM base
+),
+feat AS (
+  SELECT doc_id, {", ".join(feat_cols)} FROM wts
+),
+h1 AS (SELECT doc_id, {", ".join(h1)} FROM feat),
+h2 AS (SELECT doc_id, {", ".join(h2)} FROM h1),
+mlp AS (SELECT doc_id, {out} FROM h2)
+SELECT doc_id, round(mlp_score, 6)::DOUBLE AS score,
+       row_number() OVER (ORDER BY mlp_score DESC, doc_id)::INT AS rank
+FROM mlp
+ORDER BY rank
+LIMIT {RERANK_RETURN}
+"""
+
+
 # -------------------------------------------------- spelling (B4/B10/Q23)
 #
 # Reference: trigram index build ``ingestion.py:225-333``; correction
@@ -859,6 +1003,7 @@ LIMIT 20
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
     "search_code_tokenizer_topk": (q_search_code, SQL_SEARCH_CODE),
+    "search_rerank_topk": (q_search_rerank, _sql_search_rerank()),
     "spelling_trigram_table": (q_spelling_trigrams, SQL_SPELLING_TRIGRAMS),
     "spelling_jaccard_topk": (q_spelling_jaccard, SQL_SPELLING_JACCARD),
     "spelling_correct": (q_spelling_correct, SQL_SPELLING_CORRECT),
