@@ -618,6 +618,43 @@ LIMIT {SEMANTIC_RETURN}
 """
 
 
+# ------------------------------------------------- CSV/TSV corpus scan (D1)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (reference ``create-dataset.py:8-19`` ingests headerless TSV):
+    write the contract corpus as TSV, read it back through
+    ``load_corpus_csv``, and hand the result to the oracle — any quoting/
+    escaping/typing loss in the delimited path breaks the hash."""
+    from search_engine_spark.sources.corpus import load_corpus_csv
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"se_csv_rt_{data_fingerprint(os.path.abspath(sf_dir))}",
+    )
+    if not os.path.isdir(out_dir):
+        (
+            corpus.coalesce(1)
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .option("header", "false")
+            .option("escape", '"')
+            .csv(out_dir)
+        )
+    return load_corpus_csv(spark, out_dir, sep="\t", header=False)
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT 'corpus' AS repo,
+       printf('p%012d.txt', doc_id) AS path,
+       'c0' AS "commit",
+       lang,
+       text AS content
+FROM documents
+"""
+
+
 # ------------------------------------------------- MLP re-rank (Q21/Q22)
 
 RERANK_CANDIDATES = 100
@@ -1004,6 +1041,7 @@ CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
     "search_code_tokenizer_topk": (q_search_code, SQL_SEARCH_CODE),
     "search_rerank_topk": (q_search_rerank, _sql_search_rerank()),
+    "csv_corpus_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "spelling_trigram_table": (q_spelling_trigrams, SQL_SPELLING_TRIGRAMS),
     "spelling_jaccard_topk": (q_spelling_jaccard, SQL_SPELLING_JACCARD),
     "spelling_correct": (q_spelling_correct, SQL_SPELLING_CORRECT),
