@@ -244,6 +244,27 @@ def _extra_ops(spark, engine, sf_dir: str, SearchMode) -> dict:
     except Exception as e:  # pragma: no cover - keep bench robust
         out["extra_ops_error"] = repr(e)
     try:
+        # spelling path (Q23): vocabulary trigram table build + batched
+        # OOV correction, cold (first probe pays the table scan + cache)
+        # vs warm (cached trigram table, one job per batch)
+        from search_engine_spark.query.spelling import (
+            SpellingCorrector,
+            build_trigram_table,
+        )
+
+        t = time.time()
+        build_trigram_table(engine.store)
+        out["trigram_build_sec"] = round(time.time() - t, 4)
+        sc = SpellingCorrector(spark, engine.store)
+        t = time.time()
+        sc.correct_many(["dupp", "stram", "qurey", "windoq"])
+        out["spelling_batch4_cold_sec"] = round(time.time() - t, 4)
+        t = time.time()
+        sc.correct_many(["vectr", "joim", "mrege"])
+        out["spelling_batch3_warm_sec"] = round(time.time() - t, 4)
+    except Exception as e:  # pragma: no cover
+        out["spelling_error"] = repr(e)
+    try:
         out["rerank_training"] = _training_metrics(spark, sf_dir)
     except Exception as e:  # pragma: no cover
         out["rerank_training_error"] = repr(e)
