@@ -338,6 +338,39 @@ LIMIT 20
 """
 
 
+def q_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ranked retrieval: OR query restricted to docs
+    with ``lang = 'en'`` via ``doc_filter``.  The filter runs as a pruned
+    docs-table scan whose surviving ids join the doclens cogroup side per
+    chunk; scores stay global-collection BM25 (post-hoc-restriction
+    semantics), so the oracle is the OR oracle with a lang predicate on
+    the candidate set."""
+    engine = get_engine(spark, sf_dir)
+    out = engine.search(
+        "dup small",
+        SearchMode.OR,
+        num_return=20,
+        doc_filter=F.col("lang") == "en",
+    )
+    return out.select(
+        F.col("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
+SQL_SEARCH_FILTERED = (
+    _SCORE_CTES
+    + f"""
+SELECT c.doc_id, round({_score_chain(["dup", "small"])}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE tok IN ('dup', 'small')) c
+JOIN documents doc ON doc.doc_id = c.doc_id AND doc.lang = 'en'
+JOIN dl d ON d.doc_id = c.doc_id, st
+ORDER BY {_score_chain(["dup", "small"])} DESC, c.doc_id
+LIMIT 20
+"""
+)
+
+
 def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean query language: (dup AND line) OR group — shunting-yard
     precedence AND > OR; scoring columns in leaf order [dup, line, group]."""
@@ -1054,4 +1087,5 @@ CORE_QUERIES = {
     "search_phrase_topk": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_not_topk": (q_search_not, SQL_SEARCH_NOT),
     "search_boolean_topk": (q_search_boolean, SQL_SEARCH_BOOLEAN),
+    "search_filtered_topk": (q_search_filtered, SQL_SEARCH_FILTERED),
 }

@@ -169,13 +169,31 @@ class SearchEngine:
     # ----- execution -----
 
     def execute(
-        self, plans: list[CompiledQuery], use_wand: bool = True
+        self,
+        plans: list[CompiledQuery],
+        use_wand: bool = True,
+        doc_filter=None,
     ) -> DataFrame:
         """Run compiled plans in one job -> (qid, doc_id, score, rank),
-        rank 1..num_return per qid ordered by (-score, doc_id)."""
+        rank 1..num_return per qid ordered by (-score, doc_id).
+
+        ``doc_filter``: optional Column predicate over the docs-table
+        metadata (repo, path, commit, lang) restricting every plan's
+        results, e.g. ``F.col("lang") == "python"``.  Scalably: the
+        predicate runs as a pruned docs-table scan, surviving ids are
+        grouped into per-chunk sorted arrays and inner-joined onto the
+        doclens side of the cogroup — chunks with no surviving doc never
+        reach the kernel, and the kernel intersects matches before its
+        chunk-local top-k.  BM25 scores are unchanged (global collection
+        stats), matching a post-hoc metadata restriction.  WAND skipping
+        is disabled under a filter (its threshold would be over
+        unfiltered docs)."""
         live = [p for p in plans if p.tree[0] != EMPTY]
         if not live:
             return self._empty_ranked()
+        if doc_filter is not None:
+            # block skipping is unsafe under a filter (see docstring)
+            use_wand = False
 
         fetch_terms = sorted({t for p in live for t in p.fetch_terms})
         need_pos = any(p.needs_positions for p in live)
@@ -196,6 +214,31 @@ class SearchEngine:
             F.col("bucket").isin(buckets) & F.col("term").isin(fetch_terms)
         ).select(*cols)
 
+        doclens = self._doclens
+        if doc_filter is not None:
+            # surviving ids per chunk as a sorted array; the inner join
+            # drops chunks with no surviving doc before the kernel runs.
+            # Per-row array size is bounded by chunk_docs, and both sides
+            # are O(num_docs / chunk_docs) rows, so the join stays small
+            # no matter how wide the filter is.
+            allowed = (
+                self.store.read_docs()
+                .where(doc_filter)
+                .select(
+                    F.floor(
+                        F.col("doc_id") / self.config.chunk_docs
+                    ).cast("long").alias("chunk_id"),
+                    "doc_id",
+                )
+                .groupBy("chunk_id")
+                .agg(
+                    F.sort_array(F.collect_list("doc_id")).alias(
+                        "allowed_ids"
+                    )
+                )
+            )
+            doclens = doclens.join(allowed, "chunk_id", "inner")
+
         kernel = make_query_kernel(
             live,
             {
@@ -210,7 +253,7 @@ class SearchEngine:
         )
         per_chunk = (
             postings.groupby("chunk_id")
-            .cogroup(self._doclens.groupby("chunk_id"))
+            .cogroup(doclens.groupby("chunk_id"))
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
         n_return = {p.qid: p.num_return for p in live}
@@ -236,10 +279,13 @@ class SearchEngine:
         mode: SearchMode = SearchMode.QUERY_EVALUATOR,
         num_return: int | None = None,
         use_wand: bool = True,
+        doc_filter=None,
     ) -> DataFrame:
-        """Top-k for one query -> DataFrame(qid, doc_id, score, rank)."""
+        """Top-k for one query -> DataFrame(qid, doc_id, score, rank).
+        ``doc_filter`` restricts results by docs-table metadata (see
+        ``execute``)."""
         plan = self.compile(query, mode, num_return=num_return)
-        return self.execute([plan], use_wand=use_wand)
+        return self.execute([plan], use_wand=use_wand, doc_filter=doc_filter)
 
     def search_batch(
         self,

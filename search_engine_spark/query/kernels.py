@@ -285,6 +285,13 @@ def run_plans_on_chunk(
         return _empty_result()
 
     chunk = decode_doclens_row(next(right.itertuples(index=False)))
+    # optional metadata filter: a sorted array of doc ids allowed in this
+    # chunk (joined onto the doclens side by the engine); matches are
+    # intersected with it BEFORE the chunk-local top-k truncation, so the
+    # bound applies to surviving docs only
+    allowed: np.ndarray | None = None
+    if "allowed_ids" in right.columns:
+        allowed = np.asarray(right.iloc[0]["allowed_ids"], dtype=np.int64)
     has_pos = "pos_body" in left.columns
     has_blk = "blk_last_doc" in left.columns
     terms: dict[str, TermChunk] = {}
@@ -305,12 +312,20 @@ def run_plans_on_chunk(
             t in terms for t in plan.fetch_terms
         ):
             continue
-        if use_wand and plan.wand_eligible and has_blk:
+        if use_wand and plan.wand_eligible and has_blk and allowed is None:
+            # WAND's threshold tracks the running top-k; under a filter the
+            # top-k is over surviving docs only, so skipping on unfiltered
+            # block maxima could evict allowed docs — use the exhaustive
+            # path instead (the engine also disables use_wand for filters)
             docs, scores = wand_topk(
                 plan, terms, chunk, stats, k1, b, title_weight
             )
         else:
             matched = eval_tree(plan.tree, terms, chunk)
+            if allowed is not None and matched.size:
+                matched = np.intersect1d(
+                    matched, allowed, assume_unique=True
+                )
             docs, scores = score_and_topk(
                 plan, matched, terms, chunk, stats, k1, b, title_weight
             )

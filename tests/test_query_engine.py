@@ -278,3 +278,59 @@ def test_chunked_batch_matches_oneshot_at_10k(setup, tmp_path):
     # the whole run is job-bound, not driver-compile-bound: 10k compiles
     # plus 5 slice jobs must land in interactive time even on local[4]
     assert wall < 300, f"chunked batch took {wall:.0f}s"
+
+
+FILTER_QUERIES = [
+    ("zqmerge zqshard", SearchMode.OR),
+    ("zqmerge zqshard", SearchMode.AND),
+    ("zqmerge", SearchMode.NOT),
+    ("zqmerge AND ( zqshard OR codec_2 )", SearchMode.QUERY_EVALUATOR),
+    ('"zqmerge zqshard"', SearchMode.PHRASE),
+]
+
+
+@pytest.mark.parametrize("query,mode", FILTER_QUERIES)
+def test_doc_filter_equals_posthoc_restriction(setup, spark, query, mode):
+    """doc_filter semantics: identical to running the query unfiltered
+    with k = num_docs, dropping docs that fail the metadata predicate,
+    and re-ranking — BM25 stats stay global.  Exercises OR/AND/NOT/
+    boolean/phrase trees and the WAND-disable path."""
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    n = int(engine.stats["num_docs"])
+    allowed = {
+        r.doc_id
+        for r in engine.store.read_docs()
+        .where(F.col("lang") == "python")
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(allowed) < n  # the predicate must actually restrict
+
+    got = engine.search(
+        query, mode, num_return=10, doc_filter=F.col("lang") == "python"
+    ).collect()
+    full = engine.search(query, mode, num_return=n, use_wand=False).collect()
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in sorted(full, key=lambda r: r.rank)
+        if r.doc_id in allowed
+    ][:10]
+    got_pairs = [
+        (r.doc_id, round(r.score, 9))
+        for r in sorted(got, key=lambda r: r.rank)
+    ]
+    assert got_pairs == want, (query, mode)
+    assert all(r.doc_id in allowed for r in got)
+
+
+def test_doc_filter_empty_predicate(setup, spark):
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    out = engine.search(
+        "zqmerge", SearchMode.OR,
+        doc_filter=F.col("lang") == "no_such_lang",
+    ).collect()
+    assert out == []
