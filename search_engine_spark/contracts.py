@@ -371,6 +371,28 @@ LIMIT 20
 )
 
 
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over the FULL match set (no top-k): every doc
+    matching ``dup OR small`` tallied by its ``lang`` column.  The facet
+    values ride the doclens cogroup side as per-chunk arrays; the chunk
+    kernel emits partial counts and the only shuffle on the match set
+    is the final qid x value sum — exact integers, no float rounding."""
+    engine = get_engine(spark, sf_dir)
+    out = engine.facet_counts("dup small", SearchMode.OR, by="lang")
+    return out.select("value", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+SQL_FACET_COUNTS = f"""
+WITH flat AS (
+  SELECT DISTINCT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+)
+SELECT lang AS value, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM flat WHERE tok IN ('dup', 'small'))
+GROUP BY lang
+"""
+
+
 def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean query language: (dup AND line) OR group — shunting-yard
     precedence AND > OR; scoring columns in leaf order [dup, line, group]."""
@@ -1088,4 +1110,5 @@ CORE_QUERIES = {
     "search_not_topk": (q_search_not, SQL_SEARCH_NOT),
     "search_boolean_topk": (q_search_boolean, SQL_SEARCH_BOOLEAN),
     "search_filtered_topk": (q_search_filtered, SQL_SEARCH_FILTERED),
+    "facet_counts_lang": (q_facet_counts, SQL_FACET_COUNTS),
 }

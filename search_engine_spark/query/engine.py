@@ -216,28 +216,9 @@ class SearchEngine:
 
         doclens = self._doclens
         if doc_filter is not None:
-            # surviving ids per chunk as a sorted array; the inner join
-            # drops chunks with no surviving doc before the kernel runs.
-            # Per-row array size is bounded by chunk_docs, and both sides
-            # are O(num_docs / chunk_docs) rows, so the join stays small
-            # no matter how wide the filter is.
-            allowed = (
-                self.store.read_docs()
-                .where(doc_filter)
-                .select(
-                    F.floor(
-                        F.col("doc_id") / self.config.chunk_docs
-                    ).cast("long").alias("chunk_id"),
-                    "doc_id",
-                )
-                .groupBy("chunk_id")
-                .agg(
-                    F.sort_array(F.collect_list("doc_id")).alias(
-                        "allowed_ids"
-                    )
-                )
+            doclens = doclens.join(
+                self._allowed_by_chunk(doc_filter), "chunk_id", "inner"
             )
-            doclens = doclens.join(allowed, "chunk_id", "inner")
 
         kernel = make_query_kernel(
             live,
@@ -272,6 +253,116 @@ class SearchEngine:
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = per_chunk.withColumn("rank", F.row_number().over(w))
         return _apply_per_qid_limit(ranked, n_return)
+
+    def _allowed_by_chunk(self, doc_filter) -> DataFrame:
+        """Filter survivors as one sorted id array per chunk.  The inner
+        join this feeds drops chunks with no surviving doc before the
+        kernel runs.  Per-row array size is bounded by chunk_docs, and
+        both join sides are O(num_docs / chunk_docs) rows, so the join
+        stays small no matter how wide the filter is."""
+        return (
+            self.store.read_docs()
+            .where(doc_filter)
+            .select(
+                F.floor(
+                    F.col("doc_id") / self.config.chunk_docs
+                ).cast("long").alias("chunk_id"),
+                "doc_id",
+            )
+            .groupBy("chunk_id")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("allowed_ids"))
+        )
+
+    def execute_facets(
+        self,
+        plans: list[CompiledQuery],
+        by: str = "lang",
+        doc_filter=None,
+    ) -> DataFrame:
+        """Facet counts over the FULL match set of each plan ->
+        (qid, value, n_docs): every doc matching the query tree is
+        tallied by its docs-table ``by`` column (repo, lang, ...) —
+        scoring and top-k never run.
+
+        Scalably: the facet value of each doc rides the doclens cogroup
+        side as one per-chunk array in doc_id order (built once per call
+        from a two-column docs scan), the chunk kernel emits per-chunk
+        partial counts, and the only shuffle on the match set is the
+        final ``qid x value`` partial-aggregate sum — matched doc ids
+        are never joined row-by-row against the docs table."""
+        from search_engine_spark.query.kernels import (
+            FACET_SCHEMA,
+            make_facet_kernel,
+        )
+
+        live = [p for p in plans if p.tree[0] != EMPTY]
+        if not live:
+            return self.spark.createDataFrame(
+                [], "qid int, value string, n_docs long"
+            )
+        fetch_terms = sorted({t for p in live for t in p.fetch_terms})
+        need_pos = any(p.needs_positions for p in live)
+        scan_all = any(p.scan_all_chunks for p in live)
+        if not fetch_terms and not scan_all:
+            return self.spark.createDataFrame(
+                [], "qid int, value string, n_docs long"
+            )
+        cols = list(_BASE_COLS)
+        if need_pos:
+            cols += _POS_COLS
+        buckets = sorted(
+            {term_bucket(t, self.config.n_term_buckets) for t in fetch_terms}
+        )
+        postings = self._postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(fetch_terms)
+        ).select(*cols)
+
+        facets = (
+            self.store.read_docs()
+            .select(
+                F.floor(
+                    F.col("doc_id") / self.config.chunk_docs
+                ).cast("long").alias("chunk_id"),
+                "doc_id",
+                F.col(by).cast("string").alias("_fv"),
+            )
+            .groupBy("chunk_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "_fv"))
+                ).alias("_fa")
+            )
+            .select(
+                "chunk_id",
+                F.col("_fa.doc_id").alias("facet_ids"),
+                F.col("_fa._fv").alias("facet_vals"),
+            )
+        )
+        doclens = self._doclens.join(facets, "chunk_id", "inner")
+        if doc_filter is not None:
+            doclens = doclens.join(
+                self._allowed_by_chunk(doc_filter), "chunk_id", "inner"
+            )
+        per_chunk = (
+            postings.groupby("chunk_id")
+            .cogroup(doclens.groupby("chunk_id"))
+            .applyInPandas(make_facet_kernel(live), FACET_SCHEMA)
+        )
+        return per_chunk.groupBy("qid", "value").agg(
+            F.sum("n").alias("n_docs")
+        )
+
+    def facet_counts(
+        self,
+        query: str,
+        mode: SearchMode = SearchMode.QUERY_EVALUATOR,
+        by: str = "lang",
+        doc_filter=None,
+    ) -> DataFrame:
+        """Facet counts for one query -> (qid, value, n_docs); see
+        ``execute_facets``."""
+        plan = self.compile(query, mode)
+        return self.execute_facets([plan], by=by, doc_filter=doc_filter)
 
     def search(
         self,

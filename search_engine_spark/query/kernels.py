@@ -370,3 +370,92 @@ def make_query_kernel(
         )
 
     return kernel
+
+
+FACET_SCHEMA = "qid int, value string, n long"
+
+
+def facet_counts_on_chunk(
+    plans: list[CompiledQuery],
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+) -> pd.DataFrame:
+    """Per-chunk partial facet counts: evaluate each plan's match set
+    (full set algebra, NO scoring and NO top-k truncation — facets count
+    every match) and tally the matched docs' facet values.  The facet
+    value array rides the doclens side in doc_id order (``facet_ids`` /
+    ``facet_vals``), so the tally is a searchsorted gather — no doc_id
+    join ever happens; Spark sums the per-chunk partials."""
+    if len(right) == 0:  # pragma: no cover — every chunk has a doclens row
+        return _empty_facets()
+    any_scan_all = any(p.scan_all_chunks for p in plans)
+    if len(left) == 0 and not any_scan_all:
+        return _empty_facets()
+
+    row0 = right.iloc[0]
+    chunk = decode_doclens_row(next(right.itertuples(index=False)))
+    facet_ids = np.asarray(row0["facet_ids"], dtype=np.int64)
+    facet_vals = np.asarray(row0["facet_vals"], dtype=object)
+    allowed: np.ndarray | None = None
+    if "allowed_ids" in right.columns:
+        allowed = np.asarray(row0["allowed_ids"], dtype=np.int64)
+
+    need_pos_terms: set[str] = set()
+    for p in plans:
+        if p.needs_positions:
+            need_pos_terms.update(p.fetch_terms)
+    has_pos = "pos_body" in left.columns
+    terms: dict[str, TermChunk] = {}
+    for row in left.itertuples(index=False):
+        terms[row.term] = decode_term_row(
+            row,
+            need_positions=has_pos and row.term in need_pos_terms,
+            need_blocks=False,
+        )
+
+    out_qid: list[np.ndarray] = []
+    out_val: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    for plan in plans:
+        if plan.tree[0] == EMPTY:
+            continue
+        if not plan.scan_all_chunks and not any(
+            t in terms for t in plan.fetch_terms
+        ):
+            continue
+        matched = eval_tree(plan.tree, terms, chunk)
+        if allowed is not None and matched.size:
+            matched = np.intersect1d(matched, allowed, assume_unique=True)
+        if matched.size == 0:
+            continue
+        vals = facet_vals[np.searchsorted(facet_ids, matched)]
+        uniq, counts = np.unique(vals, return_counts=True)
+        out_qid.append(np.full(uniq.size, plan.qid, dtype=np.int32))
+        out_val.append(uniq)
+        out_n.append(counts.astype(np.int64))
+    if not out_val:
+        return _empty_facets()
+    return pd.DataFrame(
+        {
+            "qid": np.concatenate(out_qid),
+            "value": np.concatenate(out_val),
+            "n": np.concatenate(out_n),
+        }
+    )
+
+
+def _empty_facets() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "qid": pd.Series([], dtype="int32"),
+            "value": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def make_facet_kernel(plans: list[CompiledQuery]):
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return facet_counts_on_chunk(plans, left, right)
+
+    return kernel

@@ -334,3 +334,60 @@ def test_doc_filter_empty_predicate(setup, spark):
         doc_filter=F.col("lang") == "no_such_lang",
     ).collect()
     assert out == []
+
+
+@pytest.mark.parametrize(
+    "query,mode",
+    [
+        ("zqmerge zqshard", SearchMode.OR),
+        ("zqmerge", SearchMode.NOT),
+        ('"zqmerge zqshard"', SearchMode.PHRASE),
+        ("zqmerge AND ( zqshard OR codec_2 )", SearchMode.QUERY_EVALUATOR),
+    ],
+)
+def test_facet_counts_match_full_match_set(setup, spark, query, mode):
+    """Facets tally EVERY matching doc (no top-k): equal to grouping the
+    exhaustive result set's metadata by the facet column."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    n = int(engine.stats["num_docs"])
+    lang_of = {
+        r.doc_id: r.lang
+        for r in engine.store.read_docs().select("doc_id", "lang").collect()
+    }
+    full = engine.search(query, mode, num_return=n, use_wand=False).collect()
+    want = Counter(lang_of[r.doc_id] for r in full)
+    got = {
+        r.value: r.n_docs
+        for r in engine.facet_counts(query, mode, by="lang").collect()
+    }
+    assert got == dict(want), (query, mode)
+
+
+def test_facet_counts_compose_with_doc_filter(setup, spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    n = int(engine.stats["num_docs"])
+    docs = engine.store.read_docs().select("doc_id", "lang", "repo").collect()
+    repo_of = {r.doc_id: r.repo for r in docs}
+    allowed = {r.doc_id for r in docs if r.lang == "python"}
+    full = engine.search(
+        "zqmerge zqshard", SearchMode.OR, num_return=n, use_wand=False
+    ).collect()
+    want = Counter(
+        repo_of[r.doc_id] for r in full if r.doc_id in allowed
+    )
+    got = {
+        r.value: r.n_docs
+        for r in engine.facet_counts(
+            "zqmerge zqshard", SearchMode.OR, by="repo",
+            doc_filter=F.col("lang") == "python",
+        ).collect()
+    }
+    assert got == dict(want)
