@@ -169,6 +169,10 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
                 extra["pipeline_scale"] = _pipeline_scale_bench(spark, sf_dir)
             except Exception as e:  # pragma: no cover - keep bench robust
                 extra["pipeline_scale_error"] = repr(e)
+            try:
+                extra["compaction"] = _compaction_bench(spark, sf_dir)
+            except Exception as e:  # pragma: no cover - keep bench robust
+                extra["compaction_error"] = repr(e)
         else:
             extra = {}
     finally:
@@ -268,6 +272,66 @@ def _extra_ops(spark, engine, sf_dir: str, SearchMode) -> dict:
         out["rerank_training"] = _training_metrics(spark, sf_dir)
     except Exception as e:  # pragma: no cover
         out["rerank_training_error"] = repr(e)
+    return out
+
+
+def _compaction_bench(spark, sf_dir: str) -> dict:
+    """Small-file aftermath vs compacted layout: build a deliberately
+    fragmented index (one lineage batch per 256-doc chunk, the shape K
+    streaming increments leave), measure a ranked query against it,
+    compact + vacuum, measure again.  The delta is the file-listing +
+    small-file scan tax compaction removes; at 10^4 increments it
+    dominates query planning."""
+    import glob as _glob
+    import tempfile as _tf
+
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.parser import SearchMode
+    from search_engine_spark.query.engine import SearchEngine
+
+    cfg = EngineConfig(
+        tokenizer="simplemma",
+        idf_threshold=-1.0e18,
+        chunk_docs=256,
+        chunks_per_batch=1,
+        n_term_buckets=16,
+    )
+    d = _tf.mkdtemp(prefix="se_bench_compact_")
+    out: dict = {}
+
+    def _files() -> int:
+        return sum(
+            1
+            for f in _glob.glob(os.path.join(d, "postings", "**"),
+                                recursive=True)
+            if f.endswith(".parquet")
+        )
+
+    def _qsec(engine) -> float:
+        t = time.time()
+        engine.search("dup small", SearchMode.OR).collect()
+        return round(time.time() - t, 4)
+
+    try:
+        builder = IndexBuilder(spark, d, cfg)
+        builder.build_all(build_corpus(spark, sf_dir, 1))
+        out["n_batches_fragmented"] = len(builder.store.committed_batches())
+        out["postings_files_fragmented"] = _files()
+        eng = SearchEngine(spark, d, cfg)
+        _qsec(eng)  # warm the session paths once
+        out["query_sec_fragmented"] = _qsec(eng)
+        t = time.time()
+        res = builder.compact()
+        out["compact_sec"] = round(time.time() - t, 4)
+        builder.vacuum()
+        out["postings_files_compacted"] = _files()
+        out["query_sec_compacted"] = _qsec(
+            SearchEngine(spark, d, cfg)
+        )
+        out["compacted_batch_id"] = res.get("batch_id")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return out
 
 

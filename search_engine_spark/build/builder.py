@@ -287,9 +287,10 @@ class IndexBuilder:
             "max_doc_len": int(raw.max_doc_len or 0),
             "max_title_len": int(raw.max_title_len or 0),
         }
-        # total postings from the lineage metrics (committed batches) —
-        # avoids a second full postings scan
-        lineage = self.spark.read.parquet(self.store.lineage_path)
+        # total postings from the lineage metrics (committed batches only
+        # — replaced pre-compaction rows would double-count) — avoids a
+        # second full postings scan
+        lineage = self.store.read_lineage_committed()
         total_postings = lineage.agg(F.sum("n_postings")).head()[0] or 0
         postings = self.store.read_postings()
         stats = {**stats_row, "total_postings": int(total_postings)}
@@ -310,6 +311,105 @@ class IndexBuilder:
             .parquet(self.store.term_stats_path)
         )
         return stats
+
+    # ----- compaction: many small batches -> one (streaming aftermath) --
+
+    def compact(self) -> dict:
+        """Rewrite all committed batches into ONE batch and commit it by
+        appending a lineage row whose ``replaces`` column lists the old
+        batch ids — the same atomic append-commit point ``_run_batch``
+        uses, so readers switch from the old batches to the compacted one
+        in a single step (Iceberg snapshot-replace semantics).  The old
+        dirs stay on disk, invisible, until :meth:`vacuum`.
+
+        Why: incremental streaming ingestion leaves one batch dir per
+        ``advance()``; every query scan then lists batches x buckets
+        directories of small files.  At 10^4 increments the file listing
+        dominates query planning — compaction restores the one-dir,
+        bucket-partitioned, term-sorted layout (bloom + min/max intact)
+        of a fresh batch build.  Query results are identical: batches
+        are chunk-range disjoint, so compaction moves rows, never merges
+        them.  Single writer assumed (like all builder mutations)."""
+        import time as _time
+
+        t0 = _time.time()
+        committed = self.store.committed_batches()
+        if len(committed) <= 1:
+            return {"compacted": False, "batches": committed}
+        all_ids = [
+            r.batch_id
+            for r in self.store.read_lineage().select("batch_id").collect()
+        ]
+        new_id = max(all_ids) + 1
+
+        postings = self.store.read_postings(committed)
+        (
+            postings.repartition("bucket")
+            .sortWithinPartitions("term", "chunk_id")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .partitionBy("bucket")
+            .parquet(self.store.postings_batch_path(new_id))
+        )
+        # range-partitioned by chunk so a doclens scan stays splittable
+        # at any doc count (never coalesce(1): doclens is O(num_docs)
+        # bytes overall)
+        (
+            self.store.read_doclens(committed)
+            .repartitionByRange("chunk_id")
+            .sortWithinPartitions("chunk_id")
+            .write.mode("overwrite")
+            .parquet(self.store.doclens_batch_path(new_id))
+        )
+
+        old = self.store.read_lineage_committed().agg(
+            F.min("first_chunk").alias("first_chunk"),
+            F.max("last_chunk").alias("last_chunk"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_postings").alias("n_postings"),
+            F.sum("n_rows_out").alias("n_rows_out"),
+            F.sum("bytes_postings").alias("bytes_postings"),
+        ).head()
+        metric = {
+            "batch_id": new_id,
+            "first_chunk": int(old.first_chunk),
+            "last_chunk": int(old.last_chunk),
+            "n_docs": int(old.n_docs or 0),
+            "n_postings": int(old.n_postings or 0),
+            "n_rows_out": int(old.n_rows_out or 0),
+            "bytes_postings": int(old.bytes_postings or 0),
+            "wall_sec": _time.time() - t0,
+            "input_fingerprint": f"compaction:{committed}",
+            "engine_version": "0.1.0",
+            "replaces": [int(b) for b in committed],
+        }
+        # append = the commit; a crash before this leaves invisible
+        # orphan dirs (vacuum removes them), after it a consistent index
+        self.spark.createDataFrame([metric]).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.store.lineage_path)
+        return {"compacted": True, "batch_id": new_id, "replaced": committed}
+
+    def vacuum(self) -> dict:
+        """Delete batch dirs no committed lineage row references —
+        pre-compaction data and crash-orphaned writes.  Run only while no
+        build/ingest is in flight (an uncommitted in-progress batch looks
+        identical to an orphan)."""
+        import shutil
+
+        keep = set(self.store.committed_batches())
+        removed = []
+        for sub in ("postings", "doclens"):
+            base = self.store.dir / sub
+            if not base.is_dir():
+                continue
+            for d in base.iterdir():
+                if not d.name.startswith("batch="):
+                    continue
+                if int(d.name.split("=", 1)[1]) not in keep:
+                    shutil.rmtree(str(d))
+                    removed.append(str(d))
+        return {"removed_dirs": removed}
 
     def verify_corpus(self, corpus: DataFrame) -> dict:
         """Per-row content sha256 equality between the docs table and the

@@ -334,6 +334,23 @@ def cmd_stream_ingest(args: argparse.Namespace) -> None:
     print(json.dumps({k: v for k, v in res.items() if k != "batch"}))
 
 
+def cmd_compact(args: argparse.Namespace) -> None:
+    """Collapse all committed batches into one (then optionally vacuum
+    the superseded dirs) — run after many streaming increments to undo
+    the small-file fragmentation they leave."""
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.config import EngineConfig
+
+    spark = _spark("se-compact")
+    builder = IndexBuilder(spark, args.index, EngineConfig())
+    builder.store.load_meta_into_config()
+    builder.config = builder.store.config
+    res = builder.compact()
+    if args.vacuum and res.get("compacted"):
+        res["vacuum"] = builder.vacuum()
+    print(json.dumps(res))
+
+
 def cmd_serve(args: argparse.Namespace) -> None:
     """Long-lived HTTP search endpoint over a warm engine (twin of the
     reference's web.py; also kills the per-query cold-start the one-shot
@@ -447,6 +464,15 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--chunks-per-batch", type=int, default=64)
     st.add_argument("--term-buckets", type=int, default=32)
     st.set_defaults(fn=cmd_stream_ingest)
+
+    cp = sub.add_parser(
+        "compact",
+        help="collapse committed batches into one (see builder.compact)",
+    )
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--vacuum", action="store_true",
+                    help="also delete the superseded batch dirs")
+    cp.set_defaults(fn=cmd_compact)
 
     sv = sub.add_parser(
         "serve", help="HTTP search endpoint over a warm engine"

@@ -467,6 +467,73 @@ FROM documents
 """
 
 
+# Layout for the compaction contract: tiny chunks/batches so even the
+# smallest sf dir fragments into several committed batches before the
+# compaction collapses them.  Layout knobs never affect scores, so the
+# oracle is the ordinary OR-search SQL.
+COMPACT_CONFIG = EngineConfig(
+    tokenizer="simple",
+    idf_threshold=-1.0e18,
+    chunk_docs=16,
+    chunks_per_batch=1,
+    n_term_buckets=8,
+    block_docs=8,
+)
+COMPACT_WAVE1_DOCS = 24  # not chunk-aligned: exercises the persisted tail
+
+
+def q_compaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction twin of the OR-search contract
+    (``IndexBuilder.compact``): the corpus arrives in two streamed waves
+    (one ``advance()`` each, leaving several committed batches plus a
+    tail), the batches are compacted into one, the superseded dirs
+    vacuumed — and ranked retrieval over the compacted index must
+    hash-match the same BM25 SQL oracle the fresh batch build satisfies
+    (compaction moves rows between files, never changes answers)."""
+    import shutil
+
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.streaming import StreamingIndexer
+
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.sha256(
+        f"{key}|compact|v1|{data_fingerprint(key)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"se_compact_{tag}")
+    index_dir = os.path.join(base, "idx")
+    if not os.path.isdir(os.path.join(index_dir, "stats")):
+        shutil.rmtree(base, ignore_errors=True)
+        from search_engine_spark.sources.corpus import CORPUS_SCHEMA
+
+        indexer = StreamingIndexer(
+            spark, index_dir, os.path.join(base, "stg"), COMPACT_CONFIG
+        )
+        src = os.path.join(base, "arrivals")
+        corpus = corpus_from_documents(spark, sf_dir)
+        # waves split on the zero-padded path so arrival order stays the
+        # global sort order and streamed doc ids equal the batch build's
+        cut = f"p{COMPACT_WAVE1_DOCS:012d}.txt"
+        for wave, final in (
+            (corpus.where(F.col("path") < cut), False),
+            (corpus.where(F.col("path") >= cut), True),
+        ):
+            wave.write.mode("append").parquet(src)
+            indexer.start(
+                spark.readStream.schema(CORPUS_SCHEMA).parquet(src),
+                available_now=True,
+            )
+            indexer.advance(final=final)
+        out = indexer.builder.compact()
+        if not out.get("compacted"):
+            raise RuntimeError(
+                "compaction contract never fragmented: "
+                f"{indexer.builder.store.committed_batches()}"
+            )
+        indexer.builder.vacuum()
+    engine = SearchEngine(spark, index_dir, COMPACT_CONFIG)
+    return _ranked(engine, "dup small", SearchMode.OR, 20)
+
+
 # Contract-sized MLP head: same seeded-He architecture and forward path as
 # the production default (hidden=256), shrunk so the oracle SQL can inline
 # every weight as a literal (10x16 + 16x16 + 16x1 = 448 doubles).
@@ -1094,6 +1161,7 @@ LIMIT 20
 
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
+    "compaction_search_topk": (q_compaction_search, SQL_SEARCH_OR),
     "search_code_tokenizer_topk": (q_search_code, SQL_SEARCH_CODE),
     "search_rerank_topk": (q_search_rerank, _sql_search_rerank()),
     "csv_corpus_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),

@@ -154,11 +154,38 @@ class IndexStore:
         return str(self.dir / "doclens" / f"batch={batch_id}")
 
     # ----- lineage-gated reads -----
+    def read_lineage(self) -> DataFrame:
+        """All lineage rows; ``mergeSchema`` because compaction rows carry
+        an extra ``replaces`` column older rows lack."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.lineage_path
+        )
+
     def committed_batches(self) -> list[int]:
+        """Visible batches = all lineage rows minus any batch some row's
+        ``replaces`` list names (the compaction commit protocol: one
+        appended row atomically supersedes the batches it rewrote —
+        Iceberg's snapshot semantics on the same append-only commit point
+        ``IndexBuilder._run_batch`` uses)."""
         if not os.path.isdir(self.lineage_path):
             return []
-        rows = self.spark.read.parquet(self.lineage_path).select("batch_id").collect()
-        return sorted(r.batch_id for r in rows)
+        df = self.read_lineage()
+        has_replaces = "replaces" in df.columns
+        cols = ["batch_id"] + (["replaces"] if has_replaces else [])
+        rows = df.select(*cols).collect()
+        replaced: set[int] = set()
+        if has_replaces:
+            for r in rows:
+                if r.replaces:
+                    replaced.update(r.replaces)
+        return sorted(r.batch_id for r in rows if r.batch_id not in replaced)
+
+    def read_lineage_committed(self) -> DataFrame:
+        """Lineage rows of visible batches only — metric sums (n_docs,
+        n_postings) over this frame stay correct across compactions
+        (a compaction row carries the sums of the rows it replaced)."""
+        committed = self.committed_batches()
+        return self.read_lineage().where(F.col("batch_id").isin(committed))
 
     def read_postings(self, batches: list[int] | None = None) -> DataFrame:
         if batches is None:

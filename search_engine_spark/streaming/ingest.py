@@ -438,7 +438,7 @@ class StreamingIndexer:
         if not os.path.isdir(store.lineage_path):
             return 0
         row = (
-            self.spark.read.parquet(store.lineage_path)
+            store.read_lineage_committed()
             .agg(F.sum("n_docs"))
             .head()
         )
