@@ -312,29 +312,78 @@ class IndexBuilder:
         )
         return stats
 
+    # ----- deletion: tombstones now, physical purge at compaction -----
+
+    def delete_docs(self, doc_ids) -> dict:
+        """Mark docs deleted by id (an iterable of ints or a DataFrame
+        with a ``doc_id`` column).  Deletion is LOGICAL and immediate for
+        readers opened afterwards: a tombstone row is appended and query
+        kernels exclude the ids (scores keep the global collection stats
+        — post-hoc-restriction semantics, same contract as ``doc_filter``).
+        :meth:`compact` physically purges tombstoned entries and
+        recomputes stats/term_stats (Lucene segment-merge / Iceberg
+        delete-file semantics).  Doc ids are never reused: the docs table
+        keeps the tombstoned rows so streaming appends keep assigning
+        fresh dense ids."""
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            ids = [(int(i),) for i in doc_ids]
+            df = self.spark.createDataFrame(ids, "doc_id long")
+        df = df.distinct()
+        n = df.count()
+        if n:
+            df.coalesce(1).write.mode("append").parquet(
+                self.store.tombstones_path
+            )
+        return {"deleted": int(n)}
+
+    def delete_where(self, predicate) -> dict:
+        """Tombstone every doc whose docs-table metadata row (repo, path,
+        commit, lang) satisfies ``predicate`` (a Column)."""
+        return self.delete_docs(
+            self.store.read_docs().where(predicate).select("doc_id")
+        )
+
     # ----- compaction: many small batches -> one (streaming aftermath) --
 
     def compact(self) -> dict:
-        """Rewrite all committed batches into ONE batch and commit it by
-        appending a lineage row whose ``replaces`` column lists the old
-        batch ids — the same atomic append-commit point ``_run_batch``
-        uses, so readers switch from the old batches to the compacted one
-        in a single step (Iceberg snapshot-replace semantics).  The old
-        dirs stay on disk, invisible, until :meth:`vacuum`.
+        """Rewrite all committed batches into ONE batch — applying any
+        pending tombstones physically — and commit it by appending a
+        lineage row whose ``replaces`` column lists the old batch ids:
+        the same atomic append-commit point ``_run_batch`` uses, so
+        readers switch from the old batches to the compacted one in a
+        single step (Iceberg snapshot-replace semantics).  The old dirs
+        stay on disk, invisible, until :meth:`vacuum`.
 
         Why: incremental streaming ingestion leaves one batch dir per
         ``advance()``; every query scan then lists batches x buckets
         directories of small files.  At 10^4 increments the file listing
         dominates query planning — compaction restores the one-dir,
         bucket-partitioned, term-sorted layout (bloom + min/max intact)
-        of a fresh batch build.  Query results are identical: batches
-        are chunk-range disjoint, so compaction moves rows, never merges
-        them.  Single writer assumed (like all builder mutations)."""
+        of a fresh batch build.  Without tombstones query results are
+        identical (batches are chunk-range disjoint, so compaction moves
+        rows, never merges them).  With tombstones the deleted docs are
+        purged from postings and doclens and the collection/term stats
+        are recomputed (:meth:`finalize`), so post-compaction scores
+        equal a fresh build over the surviving corpus — while doc ids
+        stay the original dense ids (never reused; the docs table keeps
+        the tombstoned rows).  Purge cost is deletion-proportional: only
+        chunks containing a deleted doc go through the decode/re-encode
+        kernel, every other chunk's rows are moved JVM-side untouched.
+        Single writer assumed (like all builder mutations)."""
+        import shutil
         import time as _time
+
+        from search_engine_spark.build.kernels import make_purge_fn
+        from search_engine_spark.sources.index_store import POSTINGS_SCHEMA
 
         t0 = _time.time()
         committed = self.store.committed_batches()
-        if len(committed) <= 1:
+        tomb = self.store.read_tombstones()
+        if tomb is not None and tomb.isEmpty():
+            tomb = None
+        if len(committed) <= 1 and tomb is None:
             return {"compacted": False, "batches": committed}
         all_ids = [
             r.batch_id
@@ -343,6 +392,35 @@ class IndexBuilder:
         new_id = max(all_ids) + 1
 
         postings = self.store.read_postings(committed)
+        n_deleted = 0
+        if tomb is not None:
+            n_deleted = tomb.count()
+            by_chunk = (
+                tomb.select(
+                    F.floor(F.col("doc_id") / self.config.chunk_docs)
+                    .cast("long").alias("chunk_id"),
+                    "doc_id",
+                )
+                .groupBy("chunk_id")
+                .agg(
+                    F.sort_array(F.collect_list("doc_id")).alias("deleted_ids")
+                )
+                .localCheckpoint()  # tiny; referenced by 3 plans below
+            )
+            chunks = by_chunk.select("chunk_id")
+            untouched = postings.join(chunks, "chunk_id", "left_anti")
+            purged = (
+                postings.join(chunks, "chunk_id", "left_semi")
+                .groupby("chunk_id")
+                .cogroup(by_chunk.groupby("chunk_id"))
+                .applyInPandas(
+                    make_purge_fn(
+                        self.config.block_docs, self.config.n_term_buckets
+                    ),
+                    POSTINGS_SCHEMA,
+                )
+            )
+            postings = untouched.unionByName(purged)
         (
             postings.repartition("bucket")
             .sortWithinPartitions("term", "chunk_id")
@@ -351,12 +429,27 @@ class IndexBuilder:
             .partitionBy("bucket")
             .parquet(self.store.postings_batch_path(new_id))
         )
-        # range-partitioned by chunk so a doclens scan stays splittable
-        # at any doc count (never coalesce(1): doclens is O(num_docs)
-        # bytes overall)
+        if tomb is None:
+            # range-partitioned by chunk so a doclens scan stays
+            # splittable at any doc count (never coalesce(1): doclens is
+            # O(num_docs) bytes overall)
+            doclens = self.store.read_doclens(committed)
+        else:
+            # doclens must drop the purged docs too — re-derive from the
+            # purged postings' reserved-term "" rows (same extraction as
+            # ``_run_batch``), guaranteeing the two stay consistent
+            written = self.spark.read.option(
+                "basePath", str(self.store.dir / "postings")
+            ).parquet(self.store.postings_batch_path(new_id))
+            doclens = written.where(F.col("term") == "").select(
+                "chunk_id",
+                F.col("df").cast("int").alias("n_docs"),
+                "doc_ids",
+                F.col("tfs_body").alias("doc_lens"),
+                F.col("tfs_title").alias("title_lens"),
+            )
         (
-            self.store.read_doclens(committed)
-            .repartitionByRange("chunk_id")
+            doclens.repartitionByRange("chunk_id")
             .sortWithinPartitions("chunk_id")
             .write.mode("overwrite")
             .parquet(self.store.doclens_batch_path(new_id))
@@ -370,16 +463,43 @@ class IndexBuilder:
             F.sum("n_rows_out").alias("n_rows_out"),
             F.sum("bytes_postings").alias("bytes_postings"),
         ).head()
+        if tomb is None:
+            counts = {
+                "n_docs": int(old.n_docs or 0),
+                "n_postings": int(old.n_postings or 0),
+                "n_rows_out": int(old.n_rows_out or 0),
+                "bytes_postings": int(old.bytes_postings or 0),
+            }
+        else:
+            # purged sums differ from the replaced rows' — recount from
+            # the written batch (metadata-cheap aggregate scan)
+            w = self.spark.read.parquet(self.store.postings_batch_path(new_id))
+            agg = w.agg(
+                F.sum(F.when(F.col("term") == "", F.col("df"))).alias("docs"),
+                F.sum(F.when(F.col("term") != "", F.col("df"))).alias("posts"),
+                F.sum(F.when(F.col("term") != "", 1)).alias("rows"),
+                F.sum(
+                    F.when(
+                        F.col("term") != "",
+                        F.length("doc_ids") + F.length("tfs_body")
+                        + F.length("tfs_title") + F.length("pos_body")
+                        + F.length("pos_title"),
+                    )
+                ).alias("bytes"),
+            ).head()
+            counts = {
+                "n_docs": int(agg.docs or 0),
+                "n_postings": int(agg.posts or 0),
+                "n_rows_out": int(agg.rows or 0),
+                "bytes_postings": int(agg.bytes or 0),
+            }
         metric = {
             "batch_id": new_id,
             "first_chunk": int(old.first_chunk),
             "last_chunk": int(old.last_chunk),
-            "n_docs": int(old.n_docs or 0),
-            "n_postings": int(old.n_postings or 0),
-            "n_rows_out": int(old.n_rows_out or 0),
-            "bytes_postings": int(old.bytes_postings or 0),
+            **counts,
             "wall_sec": _time.time() - t0,
-            "input_fingerprint": f"compaction:{committed}",
+            "input_fingerprint": f"compaction:{committed}|purged:{n_deleted}",
             "engine_version": "0.1.0",
             "replaces": [int(b) for b in committed],
         }
@@ -388,7 +508,23 @@ class IndexBuilder:
         self.spark.createDataFrame([metric]).coalesce(1).write.mode(
             "append"
         ).parquet(self.store.lineage_path)
-        return {"compacted": True, "batch_id": new_id, "replaced": committed}
+        if tomb is not None:
+            # physical purge changed the collection: recompute stats +
+            # term_stats so scores match a fresh build over survivors.
+            # finalize() takes total_postings from the committed lineage,
+            # which is now the recounted compaction row.
+            self.finalize()
+            # tombstones are applied — retire them.  A crash between the
+            # lineage commit and this rmtree is safe: the ids are already
+            # absent from postings, so the logical exclusion no-ops and
+            # the next compact() re-applies cleanly.
+            shutil.rmtree(self.store.tombstones_path, ignore_errors=True)
+        return {
+            "compacted": True,
+            "batch_id": new_id,
+            "replaced": committed,
+            "purged_docs": n_deleted,
+        }
 
     def vacuum(self) -> dict:
         """Delete batch dirs no committed lineage row references —

@@ -346,6 +346,123 @@ def merge_groups_vectorized(
     )
 
 
+def make_purge_fn(block_docs: int, n_buckets: int):
+    """cogroup(postings-by-chunk, tombstones-by-chunk).applyInPandas
+    function physically removing deleted docs from one chunk's posting
+    rows (compaction's delete-file apply — Lucene's segment-merge drop of
+    tombstoned docs).
+
+    Costs are deletion-proportional at three levels: the builder routes
+    only *touched* chunks here (untouched chunks never shuffle through
+    Python), a row whose docs are all survivors passes through
+    **byte-identical** (no decode), and only rows actually containing a
+    deleted doc are re-encoded (positions re-sliced, block maxima
+    recomputed via :func:`merge_groups_vectorized`).  Rows whose docs are
+    all deleted are dropped — including the reserved-term ``""`` doclens
+    row when an entire chunk dies."""
+    from search_engine_spark.functions.codec import (
+        decode_positions,
+        delta_decode_docs,
+        vb_decode,
+    )
+
+    cols_order = [
+        "term", "chunk_id", "df", "doc_ids", "tfs_body", "tfs_title",
+        "pos_body", "pos_title", "blk_last_doc", "blk_max_tfb",
+        "blk_max_tft", "blk_min_dl", "blk_min_tl", "bucket",
+    ]
+
+    def purge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({c: [] for c in cols_order})
+        if len(right) == 0:  # untouched chunk (shouldn't reach here)
+            return left[cols_order]
+        deleted = np.sort(
+            np.asarray(right.iloc[0]["deleted_ids"], dtype=np.int64)
+        )
+        # per-doc lengths for block-min recompute come from the chunk's
+        # reserved-term "" row (lengths ride the tf columns there)
+        dl_mask = left["term"] == ""
+        dl_rows = left[dl_mask]
+        chunk_ids = dls = tls = None
+        if len(dl_rows):
+            r0 = next(dl_rows.itertuples(index=False))
+            chunk_ids = delta_decode_docs(r0.doc_ids)
+            dls = vb_decode(r0.tfs_body).astype(np.int64)
+            tls = vb_decode(r0.tfs_title).astype(np.int64)
+
+        passthrough_idx: list[int] = []
+        rebuilt = {k: [] for k in (
+            "term", "chunk_id", "doc_ids", "tfs_body", "tfs_title",
+            "pos_body", "pos_title", "doc_lens", "title_lens",
+        )}
+        n_dl_rebuilt = 0
+        for i, row in enumerate(left.itertuples(index=False)):
+            docs = delta_decode_docs(row.doc_ids)
+            keep = ~np.isin(docs, deleted)
+            if keep.all():
+                passthrough_idx.append(i)
+                continue
+            if not keep.any():
+                continue  # every doc deleted -> drop the row
+            is_dl = row.term == ""
+            tfb = vb_decode(row.tfs_body).astype(np.int64)
+            tft = vb_decode(row.tfs_title).astype(np.int64)
+            if is_dl:
+                pb = pt = np.empty(0, dtype=np.int64)
+            else:
+                pb_flat = decode_positions(row.pos_body, tfb)
+                pt_flat = decode_positions(row.pos_title, tft)
+                pb = pb_flat[_gather_slices(_excl_cumsum(tfb)[keep], tfb[keep])]
+                pt = pt_flat[_gather_slices(_excl_cumsum(tft)[keep], tft[keep])]
+            kept_docs = docs[keep]
+            if is_dl:
+                kdl, ktl = tfb[keep], tft[keep]  # lengths ride tf cols
+            else:
+                lk = np.searchsorted(chunk_ids, kept_docs)
+                kdl, ktl = dls[lk], tls[lk]
+            # doclens rows must sort first so the two merge calls below
+            # can split on a contiguous prefix, mirroring the build merge
+            target = 0 if is_dl else len(rebuilt["term"])
+            n_dl_rebuilt += int(is_dl)
+            for k, v in (
+                ("term", row.term), ("chunk_id", int(row.chunk_id)),
+                ("doc_ids", kept_docs), ("tfs_body", tfb[keep]),
+                ("tfs_title", tft[keep]), ("pos_body", pb),
+                ("pos_title", pt), ("doc_lens", kdl), ("title_lens", ktl),
+            ):
+                rebuilt[k].insert(target, v)
+
+        frames = []
+        if passthrough_idx:
+            frames.append(left.iloc[passthrough_idx][cols_order])
+        n_rb = len(rebuilt["term"])
+        if n_rb:
+            cols = {k: np.asarray(v, dtype=object) for k, v in rebuilt.items()}
+            cols["chunk_id"] = np.asarray(rebuilt["chunk_id"], dtype=np.int64)
+            starts = np.arange(n_rb, dtype=np.int64)
+            ends = starts + 1
+            if n_dl_rebuilt:
+                frames.append(
+                    merge_groups_vectorized(
+                        cols, starts[:n_dl_rebuilt], ends[:n_dl_rebuilt],
+                        block_docs, n_buckets, skip_positions=True,
+                    )[cols_order]
+                )
+            if n_rb > n_dl_rebuilt:
+                frames.append(
+                    merge_groups_vectorized(
+                        cols, starts[n_dl_rebuilt:], ends[n_dl_rebuilt:],
+                        block_docs, n_buckets,
+                    )[cols_order]
+                )
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols_order})
+        return pd.concat(frames, ignore_index=True)
+
+    return purge
+
+
 def make_merge_stream_fn(block_docs: int, n_buckets: int):
     """mapInPandas merge over partitions pre-sorted by (term, chunk_id).
 

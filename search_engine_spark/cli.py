@@ -351,6 +351,26 @@ def cmd_compact(args: argparse.Namespace) -> None:
     print(json.dumps(res))
 
 
+def cmd_delete(args: argparse.Namespace) -> None:
+    """Tombstone docs by id list or docs-table predicate.  Deletion is
+    logical and immediate for newly opened readers; `compact` purges
+    physically and recomputes stats (builder.delete_docs docstring)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.config import EngineConfig
+
+    spark = _spark("se-delete")
+    builder = IndexBuilder(spark, args.index, EngineConfig())
+    builder.store.load_meta_into_config()
+    builder.config = builder.store.config
+    if args.ids:
+        res = builder.delete_docs(int(i) for i in args.ids.split(","))
+    else:
+        res = builder.delete_where(F.expr(args.where))
+    print(json.dumps(res))
+
+
 def cmd_serve(args: argparse.Namespace) -> None:
     """Long-lived HTTP search endpoint over a warm engine (twin of the
     reference's web.py; also kills the per-query cold-start the one-shot
@@ -473,6 +493,18 @@ def main(argv: list[str] | None = None) -> None:
     cp.add_argument("--vacuum", action="store_true",
                     help="also delete the superseded batch dirs")
     cp.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone docs (logical delete; `compact` purges physically)",
+    )
+    dl.add_argument("--index", required=True)
+    g = dl.add_mutually_exclusive_group(required=True)
+    g.add_argument("--ids", help="comma-separated doc ids")
+    g.add_argument("--where",
+                   help="SQL predicate over docs-table metadata "
+                        "(repo, path, commit, lang)")
+    dl.set_defaults(fn=cmd_delete)
 
     sv = sub.add_parser(
         "serve", help="HTTP search endpoint over a warm engine"

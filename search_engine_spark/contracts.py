@@ -58,10 +58,10 @@ _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
 # shared CTE prologue for scoring oracles, parameterized on the SQL
 # tokenization of the ``documents.text`` column
-def _score_ctes(tok_sql: str) -> str:
+def _score_ctes(tok_sql: str, docs_sql: str = "documents") -> str:
     return f"""
 WITH tokl AS (
-  SELECT doc_id, {tok_sql} AS l FROM documents
+  SELECT doc_id, {tok_sql} AS l FROM {docs_sql}
 ),
 dl AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tokl),
 st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -740,6 +740,103 @@ LIMIT {SEMANTIC_RETURN}
 """
 
 
+# --------------------------------------------- deletion (tombstones + purge)
+#
+# Two-phase delete semantics under contract:
+#
+# * ``search_deleted_topk`` — LOGICAL: tombstoned docs vanish from the
+#   match set but survivors keep global-collection BM25 scores
+#   (post-hoc-restriction, like ``doc_filter``), so the oracle is the OR
+#   oracle with a complement predicate on the candidate set only;
+# * ``search_purged_topk`` — PHYSICAL: after ``compact()`` the postings/
+#   doclens/stats are rewritten over survivors (Lucene segment-merge /
+#   Iceberg delete-file apply), so the oracle computes df/avgdl/N over
+#   the surviving documents — while doc ids stay the original dense ids
+#   (never reused).
+
+DELETE_LANG = "en"
+
+
+def _delete_engine(spark: SparkSession, sf_dir: str, purge: bool):
+    import shutil
+
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.query.engine import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.sha256(
+        f"{key}|delete|v1|{data_fingerprint(key)}".encode()
+    ).hexdigest()[:12]
+    del_dir = os.path.join(tempfile.gettempdir(), f"se_del_{tag}")
+    purge_dir = os.path.join(tempfile.gettempdir(), f"se_purge_{tag}")
+    if not os.path.exists(os.path.join(del_dir, "_DELETED")):
+        shutil.rmtree(del_dir, ignore_errors=True)
+        builder = IndexBuilder(spark, del_dir, CONTRACT_CONFIG)
+        builder.build_all(corpus_from_documents(spark, sf_dir))
+        builder.delete_where(F.col("lang") == DELETE_LANG)
+        open(os.path.join(del_dir, "_DELETED"), "w").close()
+    if purge and not os.path.exists(os.path.join(purge_dir, "_PURGED")):
+        # the purged twin reuses the logical-delete index via a copy (no
+        # second Spark build), then applies the tombstones physically
+        shutil.rmtree(purge_dir, ignore_errors=True)
+        shutil.copytree(del_dir, purge_dir)
+        builder = IndexBuilder(spark, purge_dir, CONTRACT_CONFIG)
+        builder.compact()
+        builder.vacuum()
+        open(os.path.join(purge_dir, "_PURGED"), "w").close()
+    ekey = f"{purge_dir if purge else del_dir}|engine"
+    if ekey not in _ENGINES:
+        _ENGINES[ekey] = SearchEngine(
+            spark, purge_dir if purge else del_dir, CONTRACT_CONFIG
+        )
+    return _ENGINES[ekey]
+
+
+def q_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR retrieval after tombstoning every ``lang = 'en'`` doc
+    (``IndexBuilder.delete_where``) — logical-delete semantics."""
+    return _ranked(
+        _delete_engine(spark, sf_dir, purge=False),
+        "dup small", SearchMode.OR, 20,
+    )
+
+
+SQL_SEARCH_DELETED = (
+    _SCORE_CTES
+    + f"""
+SELECT c.doc_id, round({_score_chain(["dup", "small"])}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE tok IN ('dup', 'small')) c
+JOIN documents doc ON doc.doc_id = c.doc_id AND doc.lang <> '{DELETE_LANG}'
+JOIN dl d ON d.doc_id = c.doc_id, st
+ORDER BY {_score_chain(["dup", "small"])} DESC, c.doc_id
+LIMIT 20
+"""
+)
+
+
+def q_search_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same index after ``compact()`` applies the tombstones physically:
+    scores must equal a fresh build over survivors, ids stay original."""
+    return _ranked(
+        _delete_engine(spark, sf_dir, purge=True),
+        "dup small", SearchMode.OR, 20,
+    )
+
+
+SQL_SEARCH_PURGED = (
+    _score_ctes(
+        _TOK_SQL, f"(SELECT * FROM documents WHERE lang <> '{DELETE_LANG}')"
+    )
+    + f"""
+SELECT c.doc_id, round({_score_chain(["dup", "small"])}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE tok IN ('dup', 'small')) c
+JOIN dl d ON d.doc_id = c.doc_id, st
+ORDER BY {_score_chain(["dup", "small"])} DESC, c.doc_id
+LIMIT 20
+"""
+)
+
+
 # ------------------------------------------------- CSV/TSV corpus scan (D1)
 
 
@@ -1179,4 +1276,6 @@ CORE_QUERIES = {
     "search_boolean_topk": (q_search_boolean, SQL_SEARCH_BOOLEAN),
     "search_filtered_topk": (q_search_filtered, SQL_SEARCH_FILTERED),
     "facet_counts_lang": (q_facet_counts, SQL_FACET_COUNTS),
+    "search_deleted_topk": (q_search_deleted, SQL_SEARCH_DELETED),
+    "search_purged_topk": (q_search_purged, SQL_SEARCH_PURGED),
 }

@@ -87,6 +87,30 @@ class SearchEngine:
         self._postings = self.store.read_postings()
         self._doclens = self.store.read_doclens().cache()
         self._corrector = None
+        # pending tombstones (logical deletes awaiting compaction): one
+        # sorted id array per touched chunk, left-joined onto the doclens
+        # cogroup side so the kernel drops the ids from the chunk's doc
+        # space (ALL/NOT complement included).  O(touched chunks) rows,
+        # resolved once per engine open like the batch list; scores keep
+        # the global collection stats (post-hoc-restriction semantics)
+        # until compact() purges physically and recomputes them.
+        tomb = self.store.read_tombstones()
+        self._deleted_by_chunk = None
+        if tomb is not None:
+            by_chunk = (
+                tomb.select(
+                    F.floor(F.col("doc_id") / self.config.chunk_docs)
+                    .cast("long").alias("chunk_id"),
+                    "doc_id",
+                )
+                .groupBy("chunk_id")
+                .agg(
+                    F.sort_array(F.collect_list("doc_id")).alias("deleted_ids")
+                )
+                .cache()
+            )
+            if not by_chunk.isEmpty():
+                self._deleted_by_chunk = by_chunk
 
     # ----- spelling correction (reference Q23) -----
 
@@ -219,6 +243,12 @@ class SearchEngine:
             doclens = doclens.join(
                 self._allowed_by_chunk(doc_filter), "chunk_id", "inner"
             )
+        if self._deleted_by_chunk is not None:
+            # left join: chunks without deletions keep a null cell (the
+            # kernel skips them at zero cost) and keep their WAND path
+            doclens = doclens.join(
+                self._deleted_by_chunk, "chunk_id", "left"
+            )
 
         kernel = make_query_kernel(
             live,
@@ -342,6 +372,10 @@ class SearchEngine:
         if doc_filter is not None:
             doclens = doclens.join(
                 self._allowed_by_chunk(doc_filter), "chunk_id", "inner"
+            )
+        if self._deleted_by_chunk is not None:
+            doclens = doclens.join(
+                self._deleted_by_chunk, "chunk_id", "left"
             )
         per_chunk = (
             postings.groupby("chunk_id")
@@ -582,10 +616,20 @@ class SearchEngine:
             )
         else:  # pragma: no cover
             raise ValueError("pass embeddings or ann_index")
+        cand = cand.select(F.col("id").alias("doc_id"), "cos")
+        if self._deleted_by_chunk is not None:
+            # ANN tables are index-external, so tombstones are applied
+            # here: deleted docs never surface (the candidate pool may
+            # shrink below num_semantic_candidates until the embeddings /
+            # ANN table is itself rebuilt post-compaction)
+            tomb = self._deleted_by_chunk.select(
+                F.explode("deleted_ids").alias("doc_id")
+            )
+            cand = cand.join(tomb, "doc_id", "left_anti")
         # the candidate set is tiny (<= num_semantic_candidates rows) but
         # referenced twice (feature broadcast + blend join) — materialize
         # once instead of re-running the ANN scan
-        cand = cand.select(F.col("id").alias("doc_id"), "cos").localCheckpoint()
+        cand = cand.localCheckpoint()
 
         # --- un-pruned per-token plan: every query token keeps a tf
         # column and its raw idf (df=0 -> ln((N+0.5)/0.5)); the tree is

@@ -106,6 +106,27 @@ def _membership(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     return np.where(ok, idx, -1)
 
 
+def _deleted_of(right: pd.DataFrame) -> np.ndarray | None:
+    """Sorted tombstoned ids for this chunk from the left-joined
+    ``deleted_ids`` column; None when absent or null (no deletions)."""
+    if "deleted_ids" not in right.columns:
+        return None
+    cell = right.iloc[0]["deleted_ids"]
+    if cell is None or (isinstance(cell, float) and np.isnan(cell)):
+        return None
+    arr = np.asarray(cell, dtype=np.int64)
+    return arr if arr.size else None
+
+
+def _drop_deleted(chunk: ChunkDocs, deleted: np.ndarray) -> ChunkDocs:
+    keep = _membership(deleted, chunk.doc_ids) < 0
+    return ChunkDocs(
+        doc_ids=chunk.doc_ids[keep],
+        doc_lens=chunk.doc_lens[keep],
+        title_lens=chunk.title_lens[keep],
+    )
+
+
 def _phrase_field_match(
     tokens: tuple,
     terms: dict[str, TermChunk],
@@ -292,6 +313,13 @@ def run_plans_on_chunk(
     allowed: np.ndarray | None = None
     if "allowed_ids" in right.columns:
         allowed = np.asarray(right.iloc[0]["allowed_ids"], dtype=np.int64)
+    # tombstoned docs (left-joined per chunk; null where the chunk has no
+    # deletions): removed from the chunk's doc space so ALL/NOT complement
+    # never resurrects them, and subtracted from every match set before
+    # the chunk-local top-k
+    deleted = _deleted_of(right)
+    if deleted is not None:
+        chunk = _drop_deleted(chunk, deleted)
     has_pos = "pos_body" in left.columns
     has_blk = "blk_last_doc" in left.columns
     terms: dict[str, TermChunk] = {}
@@ -312,11 +340,15 @@ def run_plans_on_chunk(
             t in terms for t in plan.fetch_terms
         ):
             continue
-        if use_wand and plan.wand_eligible and has_blk and allowed is None:
-            # WAND's threshold tracks the running top-k; under a filter the
-            # top-k is over surviving docs only, so skipping on unfiltered
-            # block maxima could evict allowed docs — use the exhaustive
-            # path instead (the engine also disables use_wand for filters)
+        if (
+            use_wand and plan.wand_eligible and has_blk
+            and allowed is None and deleted is None
+        ):
+            # WAND's threshold tracks the running top-k; under a filter or
+            # pending deletions the top-k is over surviving docs only, so
+            # skipping on unfiltered block maxima could evict survivors —
+            # use the exhaustive path instead.  The check is PER CHUNK:
+            # deletions are typically sparse, so most chunks keep WAND.
             docs, scores = wand_topk(
                 plan, terms, chunk, stats, k1, b, title_weight
             )
@@ -326,6 +358,8 @@ def run_plans_on_chunk(
                 matched = np.intersect1d(
                     matched, allowed, assume_unique=True
                 )
+            if deleted is not None and matched.size:
+                matched = matched[_membership(deleted, matched) < 0]
             docs, scores = score_and_topk(
                 plan, matched, terms, chunk, stats, k1, b, title_weight
             )
@@ -399,6 +433,9 @@ def facet_counts_on_chunk(
     allowed: np.ndarray | None = None
     if "allowed_ids" in right.columns:
         allowed = np.asarray(row0["allowed_ids"], dtype=np.int64)
+    deleted = _deleted_of(right)
+    if deleted is not None:
+        chunk = _drop_deleted(chunk, deleted)
 
     need_pos_terms: set[str] = set()
     for p in plans:
@@ -426,6 +463,8 @@ def facet_counts_on_chunk(
         matched = eval_tree(plan.tree, terms, chunk)
         if allowed is not None and matched.size:
             matched = np.intersect1d(matched, allowed, assume_unique=True)
+        if deleted is not None and matched.size:
+            matched = matched[_membership(deleted, matched) < 0]
         if matched.size == 0:
             continue
         vals = facet_vals[np.searchsorted(facet_ids, matched)]

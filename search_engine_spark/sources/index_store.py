@@ -153,6 +153,25 @@ class IndexStore:
     def doclens_batch_path(self, batch_id: int) -> str:
         return str(self.dir / "doclens" / f"batch={batch_id}")
 
+    @property
+    def tombstones_path(self) -> str:
+        return str(self.dir / "tombstones")
+
+    def read_tombstones(self) -> DataFrame | None:
+        """Deleted doc ids (deduplicated), or None when no deletions are
+        pending.  Tombstones are LOGICAL deletes: query kernels exclude
+        these ids (post-hoc-restriction semantics — collection stats keep
+        counting them) until ``IndexBuilder.compact()`` physically purges
+        them and recomputes stats (Lucene/Iceberg delete-file
+        semantics)."""
+        if not os.path.isdir(self.tombstones_path):
+            return None
+        return (
+            self.spark.read.parquet(self.tombstones_path)
+            .select(F.col("doc_id").cast("long"))
+            .distinct()
+        )
+
     # ----- lineage-gated reads -----
     def read_lineage(self) -> DataFrame:
         """All lineage rows; ``mergeSchema`` because compaction rows carry
