@@ -345,6 +345,42 @@ class IndexBuilder:
             self.store.read_docs().where(predicate).select("doc_id")
         )
 
+    def supersede_old_versions(
+        self, keys: tuple = ("repo", "path"), within: DataFrame | None = None
+    ) -> dict:
+        """Tombstone every docs-table row that is not the NEWEST version
+        of its logical document — the upsert primitive.  A document's
+        identity is its ``keys`` tuple (default ``(repo, path)``); a
+        re-ingested version arrives with a new ``commit`` and, because
+        doc ids are dense arrival order, the newest version is the max
+        doc_id of the group (two versions inside one increment resolve
+        the same way).  ``within`` (a DataFrame carrying the key columns,
+        e.g. one increment's docs) restricts the sweep to the touched
+        keys — broadcast-joined, so an upsert-ingest pays O(increment),
+        not O(corpus); without it the full table is reconciled (repair /
+        bulk dedup of versions).  Already-tombstoned rows are skipped so
+        repeated calls don't grow the tombstone log.  Idempotent; purge
+        happens at :meth:`compact` like any deletion."""
+        docs = self.store.read_docs().select("doc_id", *keys)
+        if within is not None:
+            docs = docs.join(
+                F.broadcast(within.select(*keys).distinct()),
+                list(keys),
+                "left_semi",
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys)
+        old = (
+            docs.withColumn("_mx", F.max("doc_id").over(w))
+            .where(F.col("doc_id") < F.col("_mx"))
+            .select("doc_id")
+        )
+        tomb = self.store.read_tombstones()
+        if tomb is not None:
+            old = old.join(tomb, "doc_id", "left_anti")
+        return self.delete_docs(old)
+
     # ----- compaction: many small batches -> one (streaming aftermath) --
 
     def compact(self) -> dict:

@@ -330,7 +330,7 @@ def cmd_stream_ingest(args: argparse.Namespace) -> None:
     indexer = StreamingIndexer(spark, args.index, args.staging, cfg)
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(args.source)
     indexer.start(stream, available_now=True)
-    res = indexer.advance(final=args.final)
+    res = indexer.advance(final=args.final, upsert=args.upsert)
     print(json.dumps({k: v for k, v in res.items() if k != "batch"}))
 
 
@@ -479,6 +479,9 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--index", required=True)
     st.add_argument("--staging", required=True)
     st.add_argument("--final", action="store_true")
+    st.add_argument("--upsert", action="store_true",
+                    help="tombstone older (repo, path) versions the "
+                         "increment supersedes")
     st.add_argument("--tokenizer", default="simplemma")
     st.add_argument("--chunk-docs", type=int, default=1 << 17)
     st.add_argument("--chunks-per-batch", type=int, default=64)

@@ -837,6 +837,98 @@ LIMIT 20
 )
 
 
+# ------------------------------------------------------------------ upsert
+#
+# Re-ingesting a changed document (same (repo, path), new commit) through
+# the streaming path with ``advance(upsert=True)`` tombstones the old
+# version; ``compact()`` purges it.  The contract replays that end to
+# end: every doc with ``doc_id % 10 == 0`` is re-staged with
+# ``text || ' zzupdated'``, upserted, compacted, vacuumed — and ranked
+# retrieval must hash-match BM25 over the *updated* corpus, where the
+# updated docs carry their new dense ids (N + path-ordered rank; doc ids
+# are arrival order and the wave arrives path-sorted).
+
+# chunk_docs divides every sf's documents count (50 / 500 / 5000), so
+# the batch build ends chunk-aligned and the streamed update wave can
+# append to it
+UPSERT_CONFIG = EngineConfig(
+    tokenizer="simple",
+    idf_threshold=-1.0e18,
+    chunk_docs=10,
+    chunks_per_batch=8,
+    n_term_buckets=8,
+    block_docs=8,
+)
+
+
+def q_search_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.query.engine import SearchEngine
+    from search_engine_spark.sources.corpus import CORPUS_SCHEMA
+    from search_engine_spark.streaming import StreamingIndexer
+
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.sha256(
+        f"{key}|upsert|v1|{data_fingerprint(key)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"se_upsert_{tag}")
+    index_dir = os.path.join(base, "idx")
+    if not os.path.exists(os.path.join(base, "_UPSERTED")):
+        shutil.rmtree(base, ignore_errors=True)
+        corpus = corpus_from_documents(spark, sf_dir)
+        IndexBuilder(spark, index_dir, UPSERT_CONFIG).build_all(corpus)
+        indexer = StreamingIndexer(
+            spark, index_dir, os.path.join(base, "stg"), UPSERT_CONFIG
+        )
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        wave = docs.where(F.col("doc_id") % 10 == 0).select(
+            F.lit("corpus").alias("repo"),
+            F.format_string("p%012d.txt", F.col("doc_id")).alias("path"),
+            F.lit("c1").alias("commit"),
+            F.col("lang"),
+            F.concat(F.col("text"), F.lit(" zzupdated")).alias("content"),
+        )
+        src = os.path.join(base, "arrivals")
+        wave.write.mode("overwrite").parquet(src)
+        indexer.start(
+            spark.readStream.schema(CORPUS_SCHEMA).parquet(src),
+            available_now=True,
+        )
+        res = indexer.advance(final=True, upsert=True)
+        if res["superseded"] != res["indexed"]:
+            raise RuntimeError(f"upsert contract reconciliation off: {res}")
+        indexer.builder.compact()
+        indexer.builder.vacuum()
+        open(os.path.join(base, "_UPSERTED"), "w").close()
+    engine = SearchEngine(spark, index_dir, UPSERT_CONFIG)
+    return _ranked(engine, "dup zzupdated", SearchMode.OR, 20)
+
+
+# the updated corpus as the oracle's documents source: unchanged rows
+# keep their ids, updated rows get N + rank (their re-ingested dense id)
+_UPSERT_DOCS = """(
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT (SELECT count(*) FROM documents)
+           + row_number() OVER (ORDER BY doc_id) - 1 AS doc_id,
+         text || ' zzupdated' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+SQL_SEARCH_UPSERT = (
+    _score_ctes(_TOK_SQL, _UPSERT_DOCS)
+    + f"""
+SELECT c.doc_id, round({_score_chain(["dup", "zzupdated"])}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE tok IN ('dup', 'zzupdated')) c
+JOIN dl d ON d.doc_id = c.doc_id, st
+ORDER BY {_score_chain(["dup", "zzupdated"])} DESC, c.doc_id
+LIMIT 20
+"""
+)
+
+
 # ------------------------------------------------- CSV/TSV corpus scan (D1)
 
 
@@ -1278,4 +1370,5 @@ CORE_QUERIES = {
     "facet_counts_lang": (q_facet_counts, SQL_FACET_COUNTS),
     "search_deleted_topk": (q_search_deleted, SQL_SEARCH_DELETED),
     "search_purged_topk": (q_search_purged, SQL_SEARCH_PURGED),
+    "upsert_search_topk": (q_search_upsert, SQL_SEARCH_UPSERT),
 }

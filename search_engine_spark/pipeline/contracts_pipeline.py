@@ -260,6 +260,32 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs)
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per duplicate cluster (longest text wins,
+    ties to the smallest id) — the keep/drop decision that materializes
+    a deduplicated corpus (`dedup.dedup_corpus` filters on it)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup.representatives(docs, pairs, "doc_id", "text")
+
+
+def _sql_dedup_representatives() -> str:
+    """Closure oracle + per-component window: keep = first by
+    (length DESC, id ASC) within each duplicate cluster."""
+    components = _sql_dedup_components()
+    return f"""
+WITH comp AS ({components}),
+m AS (
+  SELECT c.id, c.component, length(d.text) AS len
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+)
+SELECT id, component,
+       (row_number() OVER (PARTITION BY component ORDER BY len DESC, id)
+          = 1)::INT AS keep
+FROM m
+"""
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate-cluster labels via the O(log n) large-star/
     small-star algorithm (the long-chain scale path) — label-identical
@@ -501,6 +527,57 @@ FROM scored ORDER BY cos DESC, id LIMIT 10
 
 
 # ------------------------------------------------------------ text stats
+
+# Deterministic PII salt appended to every 7th doc so the scrub contract
+# always has live matches (2 emails, 2 IPv4s, 2 hex secrets per salted
+# doc) regardless of what the synthetic corpus happens to contain.
+_PII_SALT = (
+    " mail alice.smith+dev@example-host.org cc bob_1@ex.io"
+    " srv 10.0.0.7 gw 192.168.10.250"
+    " key deadbeefcafebabe0123456789abcdef"
+    " tok 0123456789ABCDEF0123456789abcdef00"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret redaction counts + scrubbed text over the salted corpus
+    — same pattern strings evaluated by Spark (Java regex) and DuckDB
+    (RE2); patterns are kept RE2-compatible so both dialects agree."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_PII_SALT)),
+        ).otherwise(F.col("text")),
+    )
+    return textstats.pii_scrub(docs, "doc_id", "text")
+
+
+def _sql_pii_scrub() -> str:
+    pats = dict(textstats.PII_PATTERNS)
+    e, i4, hx = pats["email"], pats["ipv4"], pats["hex_secret"]
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{e}', '<email>', 'g'), "
+        f"'{i4}', '<ipv4>', 'g'), "
+        f"'{hx}', '<hex_secret>', 'g')"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SALT}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, '{e}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{i4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{hx}'))::BIGINT AS n_hex_secret,
+       {scrub} AS scrubbed,
+       md5({scrub}) AS scrubbed_md5
+FROM s
+"""
+
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
@@ -1046,6 +1123,10 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "dedup_representatives": (
+        q_dedup_representatives,
+        _sql_dedup_representatives(),
+    ),
     "dedup_components_star": (
         q_dedup_components_star, _sql_dedup_components(),
     ),
@@ -1067,6 +1148,7 @@ PIPELINE_QUERIES = {
     ),
     "dataset_split_counts": (q_ds_split_counts, SQL_DS_SPLIT_COUNTS),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "text_pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),

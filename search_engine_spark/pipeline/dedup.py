@@ -565,6 +565,67 @@ def dedup_components(
     return labels
 
 
+# ------------------------------------------- representatives / materialize
+
+def representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster — the step that
+    turns near-dup *detection* into an actual deduplicated training
+    corpus.  Returns ``(id, component, keep)``: one row per document
+    that appears in ``pairs``, with ``keep = 1`` for the cluster's
+    representative (longest text wins — the most complete version of a
+    boilerplate-padded family — ties broken by the smallest id, so the
+    choice is deterministic) and ``keep = 0`` for the members it
+    supersedes.  Documents in no pair are untouched singletons and are
+    not emitted — they are kept implicitly.
+
+    Scale shape: the window runs over the *cluster member* table (dup
+    pairs only, never the corpus), and the docs join is a semi-join on
+    those member ids — at a typical few-percent dup rate the whole
+    operator is corpus-scan + one small shuffle.
+    """
+    comp = dedup_components(pairs, max_iter=max_iter)
+    members = (
+        docs.select(
+            F.col(id_col).alias("id"), F.length(text_col).alias("_len")
+        )
+        .join(comp, "id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_len"), F.asc("id")
+    )
+    return members.select(
+        "id",
+        "component",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: ``docs`` minus every
+    non-representative duplicate-cluster member (see
+    :func:`representatives`).  The drop set is cluster members only —
+    tiny next to the corpus — so the anti-join broadcasts under AQE at
+    any realistic dup rate; the corpus itself is never shuffled."""
+    drop = (
+        representatives(docs, pairs, id_col, text_col, max_iter=max_iter)
+        .where(F.col("keep") == 0)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash_col(text_col: str, bits: int = 32):

@@ -104,6 +104,45 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII / secret patterns for a code corpus.  RE2-compatible (no
+# backreferences or lookaround) so the DuckDB oracle evaluates the SAME
+# pattern strings; applied in list order, each on the output of the last.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
+    ("hex_secret", "\\b[0-9a-fA-F]{32,}\\b"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII / leaked secrets before a corpus becomes training data:
+    per-kind match counts (over the ORIGINAL text) plus the scrubbed text
+    and its md5 (hash-stable contract column).  Matches are replaced with
+    ``<kind>`` placeholders so token positions stay roughly aligned.
+
+    Pure JVM expressions — one projection pass, no shuffle, no Python;
+    at 100 TB this runs at parquet-scan speed and pairs with
+    ``quality_scores``/``lang_id`` in a single select."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    cols = [F.col(id_col).alias("id")]
+    scrubbed = F.col(text_col)
+    for kind, pat in patterns:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind}>")
+    cols.append(scrubbed.alias("scrubbed"))
+    cols.append(F.md5(scrubbed).alias("scrubbed_md5"))
+    return df.select(*cols)
+
+
 def fingerprints_cols(text_col: str, k: int = 3, window: int = 4):
     """JVM-expression SPECIFICATION of the winnowing summary (the DuckDB
     oracle mirrors it).  Not for large frames: the hashed-gram array is

@@ -229,9 +229,20 @@ class StreamingIndexer:
 
     # ------------------------------------------------ fold into the index
 
-    def advance(self, final: bool = False) -> dict:
+    def advance(self, final: bool = False, upsert: bool = False) -> dict:
         """Index all staged-but-unindexed docs up to a chunk boundary
         (everything, including the partial tail chunk, when ``final``).
+
+        ``upsert``: after the increment commits, tombstone superseded
+        versions — any older doc sharing an indexed doc's ``(repo,
+        path)`` (``IndexBuilder.supersede_old_versions`` scoped to the
+        increment's keys, so the reconciliation is O(increment)).  A
+        re-crawled document therefore *replaces* its old version in
+        every query the moment the increment lands; ``compact()`` purges
+        the superseded rows physically.  A crash between the lineage
+        commit and the tombstone write can leave both versions briefly
+        visible — ``builder.supersede_old_versions()`` with no scope is
+        the idempotent repair.
 
         O(increment): the normal path reads only sink files above the
         consumed high-water mark plus the persisted sub-chunk tail — no
@@ -414,6 +425,11 @@ class StreamingIndexer:
             last_chunk,
         )
         stats = self.builder.finalize()
+        superseded = 0
+        if upsert:
+            superseded = self.builder.supersede_old_versions(
+                within=snap.select("repo", "path")
+            )["deleted"]
         self._write_state(
             sink_hwm=sink_hwm,
             lineage_batch=batch_id,
@@ -429,6 +445,7 @@ class StreamingIndexer:
             "indexed": n_take,
             "staged_tail": tail_count,
             "num_docs": int(stats["num_docs"]),
+            "superseded": superseded,
             "batch": metric,
             "scan": scan,
         }

@@ -205,6 +205,55 @@ def test_dedup_components_chain_and_clique(spark):
     assert dedup.dedup_components(pairs.where(F.lit(False))).count() == 0
 
 
+def test_representatives_and_dedup_corpus(spark):
+    """One survivor per duplicate cluster: the longest text wins, ties go
+    to the smallest id; singletons never appear in the decision table and
+    survive materialization untouched."""
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aa"),   # cluster {1,2,3}: 2 wins (longest)
+         (10, "bb"), (11, "bb"),              # cluster {10,11}: tie -> 10
+         (99, "solo")],                       # singleton, in no pair
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    reps = {
+        r.id: (r.component, r.keep)
+        for r in dedup.representatives(docs, pairs).collect()
+    }
+    assert reps == {1: (1, 0), 2: (1, 1), 3: (1, 0),
+                    10: (10, 1), 11: (10, 0)}
+    kept = {
+        r.doc_id for r in dedup.dedup_corpus(docs, pairs).collect()
+    }
+    assert kept == {2, 10, 99}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from search_engine_spark.pipeline import textstats
+
+    rows = spark.createDataFrame(
+        [
+            (1, "email me at a.b+c@ex-1.example.org thanks"),
+            (2, "hosts 10.0.0.7 and 192.168.10.250 up"),
+            (3, "key deadbeefcafebabe0123456789abcdef end"),
+            (4, "clean text, no pii here 1.2.3 deadbeef"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in textstats.pii_scrub(rows, "doc_id", "text").collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_hex_secret) == (1, 0, 0)
+    assert out[1].scrubbed == "email me at <email> thanks"
+    assert out[2].n_ipv4 == 2
+    assert out[2].scrubbed == "hosts <ipv4> and <ipv4> up"
+    assert out[3].n_hex_secret == 1
+    assert out[3].scrubbed == "key <hex_secret> end"
+    # short version strings / short hex never match
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_hex_secret) == (0, 0, 0)
+    assert out[4].scrubbed == "clean text, no pii here 1.2.3 deadbeef"
+
+
 def test_simhash_on_planted_dups(spark, docs):
     """Exact copies have identical SimHash (hamming 0) and are paired."""
     copies = docs.where(F.col("doc_id") < 5).withColumn(
