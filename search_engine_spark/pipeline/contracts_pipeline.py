@@ -373,7 +373,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
         return _ANN_CACHE[key]
     from search_engine_spark.contracts import data_fingerprint
 
-    cls = similarity.LshIndex if kind == "lsh" else similarity.IvfIndex
+    cls = similarity.LshIndex if kind.startswith("lsh") else similarity.IvfIndex
     fp = data_fingerprint(key[0], tables=("embeddings",))
     tag = hashlib.sha256(
         f"{key[0]}|{kind}|{_ANN_LAYOUT_V}|{fp}".encode()
@@ -406,6 +406,26 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN over the materialized index (partition-pruned probed-bucket
     scan, exact cosine re-score)."""
     idx = _ann_index(spark, sf_dir, "lsh")
+    top = idx.topk(_query_vec(spark, sf_dir), k=10)
+    return top.select("id", F.round("cos", 6).alias("cos"))
+
+
+def q_lsh_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN probe after vector deletion: every ``vec_id % 10 == 0``
+    is tombstoned, then physically purged by the ANN compaction — the
+    probe must return the top-k over the survivors only (the oracle
+    scores the embeddings table WHERE vec_id % 10 <> 0)."""
+    import os
+
+    idx = _ann_index(spark, sf_dir, "lsh_deleted")
+    marker = os.path.join(idx.path, "_DELETED")
+    if not os.path.exists(marker):
+        victims = _emb(spark, sf_dir).where(
+            F.col("vec_id") % 10 == 0
+        ).select("vec_id")
+        idx.delete(victims)
+        idx.compact()
+        open(marker, "w").close()
     top = idx.topk(_query_vec(spark, sf_dir), k=10)
     return top.select("id", F.round("cos", 6).alias("cos"))
 
@@ -452,7 +472,9 @@ def _cos_sql(qvec: list[float]) -> str:
     )
 
 
-def _sql_ann_lsh(sf_dir: str = CORRECTNESS_SF_DIR) -> str | None:
+def _sql_ann_lsh(
+    sf_dir: str = CORRECTNESS_SF_DIR, where: str = "TRUE"
+) -> str | None:
     try:
         embs = _load_oracle_embeddings(sf_dir)
     except Exception:  # embeddings table absent: fall back to rows-only
@@ -474,6 +496,7 @@ q AS (SELECT {_lit_list(qvec)} AS qv),
 b AS (
   SELECT e.vec_id AS id, e.embedding, ({bucket}) AS bucket
   FROM embeddings e, pl
+  WHERE {where}
 ),
 scored AS (
   SELECT e.id, {_cos_sql(qvec)} AS cos
@@ -1136,6 +1159,10 @@ PIPELINE_QUERIES = {
     # from the fixed correctness sf dir); fall back to rows-only (None) if
     # that table is unreadable at import time
     "ann_lsh_topk": (q_lsh_topk, _sql_ann_lsh()),
+    "ann_lsh_deleted_topk": (
+        q_lsh_deleted_topk,
+        _sql_ann_lsh(where="e.vec_id % 10 <> 0"),
+    ),
     "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf()),
     "embed_ingest": (q_embed_ingest, SQL_EMBED_INGEST),
     "dataset_rank_pivot": (q_ds_rank_pivot, SQL_DS_RANK_PIVOT),

@@ -231,7 +231,91 @@ def _rescored_topk(
     )
 
 
-class LshIndex:
+class _MutableAnn:
+    """Vector deletion for the materialized ANN indexes — the companion
+    of the inverted index's tombstone path, so a deleted or superseded
+    document disappears from ANN probes the same way it disappears from
+    BM25 retrieval (the engine's ``semantic_search`` additionally
+    anti-joins ITS tombstones; this handles standalone index usage and
+    physical cleanup).
+
+    ``delete`` appends id tombstones beside the table (O(deletes), the
+    bucket/cell partitions are untouched); ``topk`` anti-joins them
+    broadcast-style after the partition-pruned scan (tombstones are tiny
+    relative to the table); ``compact`` rewrites the table without the
+    victims — partition layout preserved, written to a staging dir and
+    swapped in, tombstones retired."""
+
+    # provided by subclasses
+    spark: SparkSession
+    path: str
+    id_col: str
+    _part_col: str
+
+    def _tomb_dir(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def read_tombstones(self) -> DataFrame | None:
+        p = self._tomb_dir()
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p).select(self.id_col).distinct()
+
+    def delete(self, ids) -> int:
+        """Tombstone vectors by id.  ``ids``: a DataFrame carrying
+        ``id_col``, or an iterable of ids.  Returns the number of NEW
+        tombstones written (already-deleted ids are skipped, so repeated
+        deletes stay idempotent)."""
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in ids], f"{self.id_col} long"
+            )
+        ids = ids.select(self.id_col).distinct()
+        existing = self.read_tombstones()
+        if existing is not None:
+            ids = ids.join(existing, self.id_col, "left_anti")
+        n = ids.count()
+        if n:
+            ids.write.mode("append").parquet(self._tomb_dir())
+        return n
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        tomb = self.read_tombstones()
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), self.id_col, "left_anti")
+
+    def compact(self) -> dict:
+        """Physically drop tombstoned vectors: rewrite the table minus
+        the victims into a staging dir (same partition column, so probes
+        keep their pruning), swap it in, retire the tombstones."""
+        import shutil
+
+        tomb = self.read_tombstones()
+        if tomb is None:
+            return {"purged": 0}
+        n = tomb.count()
+        table_dir = os.path.join(self.path, "table")
+        staging = os.path.join(self.path, "table_compacting")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self._live(self.spark.read.parquet(table_dir))
+            .write.mode("overwrite")
+            .partitionBy(self._part_col)
+            .parquet(staging)
+        )
+        old = os.path.join(self.path, "table_retired")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(table_dir, old)
+        os.rename(staging, table_dir)
+        shutil.rmtree(old)
+        shutil.rmtree(self._tomb_dir())
+        return {"purged": n}
+
+
+class LshIndex(_MutableAnn):
     """Materialized random-hyperplane LSH ANN index.
 
     ``build`` writes the embedding table **partitioned by sign-bucket** and
@@ -246,6 +330,8 @@ class LshIndex:
     rebuilt as a partition-pruned parquet layout instead of an in-memory
     mask.
     """
+
+    _part_col = "bucket"
 
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark
@@ -314,11 +400,11 @@ class LshIndex:
         self, query_vec: list[float], k: int = 10, probe_hamming: int = 1
     ) -> DataFrame:
         probe = lsh_probe_buckets(self.planes, query_vec, probe_hamming)
-        pruned = self.table().where(F.col("bucket").isin(probe))
+        pruned = self._live(self.table().where(F.col("bucket").isin(probe)))
         return _rescored_topk(pruned, query_vec, k, self.id_col, self.emb_col)
 
 
-class IvfIndex:
+class IvfIndex(_MutableAnn):
     """Materialized IVF ANN index: coarse k-means quantizer trained ONCE at
     build time on a deterministic sample (first ``sample_rows`` ids —
     ``orderBy(id)`` so the sample, hence the centroids, hence the results,
@@ -329,6 +415,8 @@ class IvfIndex:
     ``/root/reference/quantization.py:7-37``,
     ``inverted_index.py:1512-1519`` — no sklearn, no per-query retraining).
     """
+
+    _part_col = "ivf_cell"
 
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark
@@ -410,7 +498,9 @@ class IvfIndex:
         self, query_vec: list[float], k: int = 10, nprobe: int = 4
     ) -> DataFrame:
         probe = self.probe_cells(query_vec, nprobe)
-        pruned = self.table().where(F.col("ivf_cell").isin(probe))
+        pruned = self._live(
+            self.table().where(F.col("ivf_cell").isin(probe))
+        )
         return _rescored_topk(pruned, query_vec, k, self.id_col, self.emb_col)
 
 

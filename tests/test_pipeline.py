@@ -4,6 +4,8 @@ multimodal plumbing."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -157,6 +159,40 @@ def test_ann_index_append_incremental(spark, emb, tmp_path_factory):
     assert ivf.table().count() == 500
     got = {r.id for r in ivf.topk(qvec, k=10).collect()}
     assert 350 in got  # the query vector itself arrived via append
+
+
+def test_ann_delete_and_compact(spark, emb, tmp_path_factory):
+    """Vector tombstones: deleted ids vanish from probes immediately,
+    repeat deletes are idempotent, results are identical before and after
+    the physical compaction, and compaction retires the tombstones while
+    preserving partition pruning."""
+    for cls, name in [
+        (similarity.LshIndex, "lshdel"), (similarity.IvfIndex, "ivfdel")
+    ]:
+        idx = cls.build(emb, str(tmp_path_factory.mktemp(name)))
+        qvec = [
+            float(v)
+            for v in emb.where(F.col("vec_id") == 2).head()["embedding"]
+        ]
+        before = {r.id for r in idx.topk(qvec, k=10).collect()}
+        victims = sorted(before)[:3]
+        assert idx.delete(victims) == 3
+        assert idx.delete(victims) == 0  # idempotent
+        logical = [(r.id, r.cos) for r in idx.topk(qvec, k=10).collect()]
+        assert not ({i for i, _c in logical} & set(victims))
+        assert len(logical) == 10  # pool refills from the same buckets
+        assert idx.compact() == {"purged": 3}
+        assert not os.path.isdir(os.path.join(idx.path, "tombstones"))
+        physical = [(r.id, r.cos) for r in idx.topk(qvec, k=10).collect()]
+        assert physical == logical
+        # victims are physically gone from the table
+        assert (
+            idx.table().where(F.col("vec_id").isin(victims)).count() == 0
+        )
+        assert idx.table().count() == emb.count() - 3
+        # partition column survived the rewrite (pruning still possible)
+        assert idx._part_col in idx.table().columns
+        assert idx.compact() == {"purged": 0}
 
 
 def test_lsh_index_reopen_identical(spark, emb, lsh_index):
