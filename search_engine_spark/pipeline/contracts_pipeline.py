@@ -704,6 +704,41 @@ FROM w
 """
 
 
+# ---------------------------------------------------------- curation
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation decision table: near-dup removal + lang filter
+    (en only) + quality floor (0.55), reason precedence near_dup > lang
+    > low_quality — the end-to-end keep/drop pass chaining the
+    individually-contracted primitives."""
+    from search_engine_spark.pipeline import curate
+
+    return curate.curate_decisions(
+        _docs(spark, sf_dir), min_quality=0.55, allowed_langs=("en",)
+    )
+
+
+def _sql_curate() -> str:
+    return f"""
+WITH qual AS ({SQL_QUALITY}),
+lg AS ({_sql_lang_id()}),
+dups AS (SELECT id FROM ({_sql_dedup_representatives()}) WHERE keep = 0)
+SELECT d.doc_id AS id,
+       (CASE WHEN dups.id IS NOT NULL THEN 0
+             WHEN lg.lang_pred NOT IN ('en') THEN 0
+             WHEN qual.quality < 0.55 THEN 0
+             ELSE 1 END)::INT AS keep,
+       CASE WHEN dups.id IS NOT NULL THEN 'near_dup'
+            WHEN lg.lang_pred NOT IN ('en') THEN 'lang'
+            WHEN qual.quality < 0.55 THEN 'low_quality'
+            ELSE 'kept' END AS reason
+FROM documents d
+JOIN qual ON qual.id = d.doc_id
+JOIN lg ON lg.id = d.doc_id
+LEFT JOIN dups ON dups.id = d.doc_id
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,5 +1214,6 @@ PIPELINE_QUERIES = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "curate_decisions": (q_curate, _sql_curate()),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

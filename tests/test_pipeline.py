@@ -266,6 +266,35 @@ def test_representatives_and_dedup_corpus(spark):
     assert kept == {2, 10, 99}
 
 
+def test_curated_corpus_materialization(spark, docs):
+    """curated_corpus = decisions(keep=1) semi-join + PII scrub; reasons
+    partition the corpus and precedence holds (a dup is 'near_dup' even
+    if also low quality)."""
+    from search_engine_spark.pipeline import curate
+
+    d = docs.select("doc_id", "text")
+    dec = curate.curate_decisions(
+        d, min_quality=0.55, allowed_langs=("en",)
+    ).cache()
+    n = d.count()
+    assert dec.count() == n  # one decision per doc
+    by_reason = {
+        r.reason: r["count"]
+        for r in dec.groupBy("reason").count().collect()
+    }
+    assert by_reason.get("kept", 0) >= 1
+    assert set(by_reason) <= {"kept", "near_dup", "lang", "low_quality"}
+    assert all(
+        (r.reason == "kept") == (r.keep == 1) for r in dec.collect()
+    )
+    out = curate.curated_corpus(
+        d, min_quality=0.55, allowed_langs=("en",)
+    )
+    assert out.count() == by_reason.get("kept", 0)
+    assert set(out.columns) == {"doc_id", "text"}
+    dec.unpersist()
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from search_engine_spark.pipeline import textstats
 
