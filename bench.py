@@ -173,6 +173,10 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
                 extra["compaction"] = _compaction_bench(spark, sf_dir)
             except Exception as e:  # pragma: no cover - keep bench robust
                 extra["compaction_error"] = repr(e)
+            try:
+                extra["upsert"] = _upsert_bench(spark, sf_dir)
+            except Exception as e:  # pragma: no cover - keep bench robust
+                extra["upsert_error"] = repr(e)
         else:
             extra = {}
     finally:
@@ -332,6 +336,70 @@ def _compaction_bench(spark, sf_dir: str) -> dict:
         out["compacted_batch_id"] = res.get("batch_id")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _upsert_bench(spark, sf_dir: str) -> dict:
+    """Streaming upsert wave: re-ingest 10% of the corpus (same (repo,
+    path), new commit) through staging + advance(upsert=True), then
+    compact.  Reports the end-to-end replace latency and throughput —
+    the supersede reconciliation is increment-scoped, so wave cost must
+    track wave size, not corpus size."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.build.builder import IndexBuilder
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.sources.corpus import CORPUS_SCHEMA
+    from search_engine_spark.streaming import StreamingIndexer
+
+    corpus = build_corpus(spark, sf_dir, 1)
+    n = corpus.count()
+    # chunk size that divides the corpus so the batch build stays
+    # append-able (5000-doc sf tables -> 250; fall back to n)
+    chunk = 250 if n % 250 == 0 else n
+    cfg = EngineConfig(
+        tokenizer="simplemma",
+        idf_threshold=-1.0e18,
+        chunk_docs=chunk,
+        chunks_per_batch=8,
+        n_term_buckets=16,
+    )
+    base = _tf.mkdtemp(prefix="se_bench_upsert_")
+    out: dict = {}
+    try:
+        builder = IndexBuilder(spark, os.path.join(base, "idx"), cfg)
+        builder.build_all(corpus)
+        wave = corpus.where(F.abs(F.hash("path")) % 10 == 0).select(
+            "repo", "path", F.lit("bench_v2").alias("commit"), "lang",
+            F.concat(F.col("content"), F.lit(" zzbenchupdated")).alias(
+                "content"
+            ),
+        )
+        src = os.path.join(base, "wave")
+        wave.write.mode("overwrite").parquet(src)
+        ix = StreamingIndexer(
+            spark, os.path.join(base, "idx"), os.path.join(base, "stg"), cfg
+        )
+        t = time.time()
+        ix.start(
+            spark.readStream.schema(CORPUS_SCHEMA).parquet(src),
+            available_now=True,
+        )
+        res = ix.advance(final=True, upsert=True)
+        dt = time.time() - t
+        out["wave_docs"] = int(res["indexed"])
+        out["superseded"] = int(res["superseded"])
+        out["upsert_wall_sec"] = round(dt, 3)
+        out["upsert_docs_per_sec"] = round(res["indexed"] / dt, 1)
+        t = time.time()
+        purged = builder.compact()["purged_docs"]
+        builder.vacuum()
+        out["compact_purge_sec"] = round(time.time() - t, 3)
+        out["purged_docs"] = int(purged)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return out
 
 
@@ -514,6 +582,35 @@ def _pipeline_scale_bench(spark, sf_dir: str) -> dict:
     dt = time.time() - t
     out["winnowing_sec"] = round(dt, 2)
     out["winnowing_rows_per_sec"] = round(n_big / dt, 1)
+
+    # PII scrub: pure-JVM projection — this should track parquet-scan
+    # speed (force evaluation of counts AND the rewritten text)
+    t = time.time()
+    textstats.pii_scrub(big, "doc_id", "text").agg(
+        F.sum("n_email"), F.sum(F.length("scrubbed"))
+    ).collect()
+    dt = time.time() - t
+    out["pii_scrub_sec"] = round(dt, 2)
+    out["pii_scrub_rows_per_sec"] = round(n_big / dt, 1)
+
+    # composed curation (near-dup channel + lang + quality, one decision
+    # table) — the end-to-end "corpus -> training corpus" pass
+    from search_engine_spark.pipeline import curate
+
+    t = time.time()
+    reasons = dict(
+        (r["reason"], r["count"])
+        for r in curate.curate_decisions(
+            big, min_quality=0.55, allowed_langs=("en",)
+        )
+        .groupBy("reason")
+        .count()
+        .collect()
+    )
+    dt = time.time() - t
+    out["curate_sec"] = round(dt, 2)
+    out["curate_rows_per_sec"] = round(n_big / dt, 1)
+    out["curate_reasons"] = {k: int(v) for k, v in reasons.items()}
     big.unpersist()
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

