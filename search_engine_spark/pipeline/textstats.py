@@ -43,8 +43,10 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality features + a combined score (deterministic)."""
+def quality_cols(text_col: str) -> list:
+    """Quality feature expressions (aliased columns) — exposed so callers
+    composing several text passes (e.g. ``pipeline.curate``) can evaluate
+    them inside ONE corpus projection instead of joining per-op frames."""
     toks = tokens_col(text_col)
     n_chars = F.length(F.col(text_col))
     n_toks = F.size(toks)
@@ -67,19 +69,24 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + (F.lit(1.0) - punct_ratio) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         n_chars.cast("long").alias("n_chars"),
         n_toks.cast("long").alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality"),
-    )
+    ]
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Marker-token language heuristic -> (id, lang_pred, lang_hits)."""
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a combined score (deterministic)."""
+    return df.select(F.col(id_col).alias("id"), *quality_cols(text_col))
+
+
+def lang_cols(text_col: str) -> list:
+    """Language-id expressions (aliased columns) — see
+    :func:`quality_cols` for why these are exposed separately."""
     toks = tokens_col(text_col)
     hits = {
         lang: F.size(
@@ -97,11 +104,15 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for l in langs:  # first language in fixed order wins ties
         pred = pred.when(hits[l] == best, F.lit(l))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         pred.otherwise(F.lit("und")).alias("lang_pred"),
         best.cast("long").alias("lang_hits"),
-    )
+    ]
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-token language heuristic -> (id, lang_pred, lang_hits)."""
+    return df.select(F.col(id_col).alias("id"), *lang_cols(text_col))
 
 
 # PII / secret patterns for a code corpus.  RE2-compatible (no
