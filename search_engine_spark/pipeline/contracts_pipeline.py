@@ -616,6 +616,41 @@ FROM documents
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.corpus_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_CORPUS_STATS = f"""
+WITH t AS (SELECT len({_TOK}) AS n FROM documents),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+         max(n)::BIGINT AS max_doc_tokens, min(n)::BIGINT AS min_doc_tokens
+  FROM t
+),
+v AS (
+  SELECT count(DISTINCT tok)::BIGINT AS vocab_size
+  FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+)
+SELECT n_docs, total_tokens, max_doc_tokens, min_doc_tokens,
+       round(total_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens,
+       vocab_size
+FROM s, v
+"""
+
+
+def q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_length_histogram(
+        _docs(spark, sf_dir), "doc_id", "text"
+    )
+
+
+SQL_DOCLEN_HIST = f"""
+SELECT least(floor(len({_TOK}) / 100), 9)::INT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -1211,6 +1246,8 @@ PIPELINE_QUERIES = {
     "dataset_split_counts": (q_ds_split_counts, SQL_DS_SPLIT_COUNTS),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+    "text_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "text_doclen_hist": (q_doclen_hist, SQL_DOCLEN_HIST),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),

@@ -115,6 +115,56 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), *lang_cols(text_col))
 
 
+def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-row corpus profile: doc count, total/max/min/avg tokens and
+    the distinct vocabulary size.  Token totals come from one projection
+    pass with map-side partial aggregation; the vocabulary count is the
+    only shuffle (explode -> distinct-count), which is the unavoidable
+    one.  avg is computed as exact-int-sum / count, divided once, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    toks = tokens_col(text_col)
+    per_doc = df.select(F.size(toks).alias("_n"))
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_tokens"),
+        F.max("_n").cast("long").alias("max_doc_tokens"),
+        F.min("_n").cast("long").alias("min_doc_tokens"),
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("_t"))
+        .agg(F.count_distinct("_t").cast("long").alias("vocab_size"))
+    )
+    return stats.crossJoin(vocab).select(
+        "n_docs", "total_tokens", "max_doc_tokens", "min_doc_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_doc_tokens"),
+        "vocab_size",
+    )
+
+
+def doc_length_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_width: int = 100,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Token-length distribution: fixed-width buckets with the last one
+    open-ended (``bucket = min(floor(tokens / width), n_buckets - 1)``).
+    One groupBy on a tiny key space — partial aggregation makes this a
+    corpus-scan-speed profile at any scale."""
+    toks = tokens_col(text_col)
+    bucket = F.least(
+        F.floor(F.size(toks) / F.lit(bucket_width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 # PII / secret patterns for a code corpus.  RE2-compatible (no
 # backreferences or lookaround) so the DuckDB oracle evaluates the SAME
 # pattern strings; applied in list order, each on the output of the last.
