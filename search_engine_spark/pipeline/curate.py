@@ -43,15 +43,15 @@ def curate_decisions(
         .where(F.col("keep") == 0)
         .select("id", F.lit(1).alias("_dup"))
     )
-    # quality + lang evaluate inside ONE corpus projection (same aliased
-    # expressions the standalone ops use, so the contracts transfer);
-    # the only join is the broadcast of the tiny duplicate drop set —
-    # one corpus scan total outside the dup channel
-    d = docs.select(
-        F.col(id_col).alias("id"),
-        *textstats.quality_cols(text_col),
-        *textstats.lang_cols(text_col),
-    ).join(F.broadcast(dup_drop), "id", "left")
+    # quality + lang evaluate in ONE Arrow-batched corpus pass
+    # (textstats.text_profile — bit-identical to the contracted
+    # expression specs, one tokenization per row); the only join is the
+    # broadcast of the tiny duplicate drop set
+    d = (
+        textstats.text_profile(docs, id_col, text_col)
+        .select("id", "quality", "lang_pred")
+        .join(F.broadcast(dup_drop), "id", "left")
+    )
     reason = F.when(F.col("_dup") == 1, F.lit("near_dup"))
     if allowed_langs is not None:
         reason = reason.when(

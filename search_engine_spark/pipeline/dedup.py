@@ -425,6 +425,10 @@ def components_two_phase(
     Converges when the edge set is a fixpoint — at that point edges
     form per-component stars (member → root=min).
     """
+    # checkpoint the pair table first: edges + vertices reference it
+    # three times, and each reference would re-run the full upstream
+    # pair pipeline (see dedup_components)
+    pairs = pairs.select("id1", "id2").localCheckpoint()
     edges = (
         pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -520,10 +524,14 @@ def dedup_components(
     Only vertices that appear in ``pairs`` are emitted (singletons are
     their own trivial components).
     """
-    # materialize the edge set ONCE: the loop below re-reads it every
-    # round, and without this the upstream pair pipeline (MinHash + LSH
-    # banding + Jaccard verification — the expensive part) would be
-    # recomputed per round (measured 8x slowdown on a 20k-doc corpus)
+    # materialize the PAIR table once, then the symmetric edge set once:
+    # the undirected union references ``pairs`` twice, so without the
+    # first checkpoint the upstream pair pipeline (MinHash + LSH banding
+    # + Jaccard verification — the expensive part) evaluates once per
+    # branch, and without the second it would re-run every loop round
+    # (measured 2x and 8x slowdowns respectively; the pair table itself
+    # is tiny — near-dup pairs, never the corpus)
+    pairs = pairs.select("id1", "id2").localCheckpoint()
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(

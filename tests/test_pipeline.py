@@ -504,6 +504,39 @@ def test_minhash_kernel_bit_matches_expression_spec(docs):
     assert got_sh == spec_sh
 
 
+def test_text_profile_kernel_bit_matches_expression_spec(spark, docs):
+    """text_profile (one Arrow pass for quality + lang) must bit-match
+    the Catalyst expression specs — including float ratios and Spark's
+    HALF_UP round(…, 6), which Python's half-even round does NOT give
+    (the kernel goes through Decimal(repr(x)))."""
+    from search_engine_spark.pipeline import textstats
+
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),                                # empty text
+            (9002, "!!! ??? ,,,"),                     # punct-only
+            (9003, "THE The the und der die est les"), # lang tie material
+            (9004, "a" * 333),                         # one long token
+            (9005, "the " * 77),                       # stop-ratio 1.0
+        ],
+        "doc_id long, text string",
+    )
+    sample = docs.select("doc_id", "text").limit(60).unionByName(edge)
+    spec = {
+        r["id"]: tuple(r)[1:]
+        for r in sample.select(
+            F.col("doc_id").alias("id"),
+            *textstats.quality_cols("text"),
+            *textstats.lang_cols("text"),
+        ).collect()
+    }
+    got = {
+        r["id"]: tuple(r)[1:]
+        for r in textstats.text_profile(sample, "doc_id", "text").collect()
+    }
+    assert got == spec  # exact equality, floats included
+
+
 def test_simhash_kernel_bit_matches_expression_spec(docs):
     from pyspark.sql import functions as F
 
