@@ -75,7 +75,7 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
     from search_engine_spark.plans.parser import SearchMode
     from search_engine_spark.query.engine import SearchEngine
 
-    spark = (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"se_bench_{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
@@ -83,8 +83,13 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    # ad-hoc tuning sweeps: SPARK_GRAFT_SPARK_CONF='{"spark.x": "y", ...}'
+    for k, v in json.loads(
+        os.environ.get("SPARK_GRAFT_SPARK_CONF", "{}")
+    ).items():
+        b = b.config(k, str(v))
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = EngineConfig(
@@ -110,7 +115,9 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
             cpu0 = _cpu_sample()
             t0 = time.time()
             builder.build_docs(corpus)
+            t1 = time.time()
             batch_metrics = builder.build_postings(corpus, resume=False)
+            t2 = time.time()
             builder.finalize()
             wall = time.time() - t0
             trials.append(
@@ -119,6 +126,11 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
                     "cpu": _cpu_delta(cpu0, _cpu_sample(), wall),
                     "n_postings": sum(m["n_postings"] for m in batch_metrics),
                     "n_bytes": sum(m["bytes_postings"] for m in batch_metrics),
+                    "phases": {
+                        "docs_sec": round(t1 - t0, 3),
+                        "postings_sec": round(t2 - t1, 3),
+                        "finalize_sec": round(wall - (t2 - t0), 3),
+                    },
                 }
             )
         best = min(trials, key=lambda t: t["wall"])
@@ -196,7 +208,11 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         "query_p99_sec": round(p99, 4),
         "query_batch_all_sec": round(batch_wall, 4),
         "build_trials": [
-            {"wall_sec": round(t["wall"], 3), "cpu": t["cpu"]}
+            {
+                "wall_sec": round(t["wall"], 3),
+                "cpu": t["cpu"],
+                "phases": t["phases"],
+            }
             for t in trials
         ],
         # fixed per-job scheduling cost (median of a minimal job); the

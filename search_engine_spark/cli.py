@@ -388,12 +388,26 @@ def cmd_curate(args: argparse.Namespace) -> None:
         if os.path.exists(args.input)
         else spark.read.table(args.input)
     )
+    bench = None
+    if args.bench:
+        bench = (
+            spark.read.parquet(args.bench)
+            if os.path.exists(args.bench)
+            else spark.read.table(args.bench)
+        )
     kwargs = dict(
         id_col=args.id_col,
         text_col=args.text_col,
         neardup_threshold=args.neardup_threshold,
         min_quality=args.min_quality,
         allowed_langs=tuple(args.langs.split(",")) if args.langs else None,
+        bench=bench,
+        contamination_kwargs=dict(
+            bench_id_col=args.bench_id_col,
+            bench_text_col=args.bench_text_col,
+            shingle_k=args.bench_shingle_k,
+            min_overlap_frac=args.bench_overlap,
+        ),
     )
     dec = curate.curate_decisions(df, **kwargs).cache()
     if args.decisions:
@@ -550,7 +564,8 @@ def main(argv: list[str] | None = None) -> None:
 
     cu = sub.add_parser(
         "curate",
-        help="corpus -> curated training corpus (dedup+lang+quality+PII)",
+        help="corpus -> curated training corpus "
+             "(decontam+dedup+lang+quality+PII)",
     )
     cu.add_argument("--input", required=True,
                     help="parquet path or catalog table with id+text cols")
@@ -564,6 +579,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma-separated allow-list, e.g. en,de")
     cu.add_argument("--neardup-threshold", type=float, default=0.5)
     cu.add_argument("--no-scrub", action="store_true")
+    cu.add_argument("--bench", default=None,
+                    help="benchmark/eval table (parquet path or catalog "
+                         "table) for n-gram decontamination")
+    cu.add_argument("--bench-id-col", default="bench_id")
+    cu.add_argument("--bench-text-col", default="bench_text")
+    cu.add_argument("--bench-shingle-k", type=int, default=8)
+    cu.add_argument("--bench-overlap", type=float, default=0.5)
     cu.set_defaults(fn=cmd_curate)
 
     sv = sub.add_parser(

@@ -774,6 +774,49 @@ LEFT JOIN dups ON dups.id = d.doc_id
 """
 
 
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: eval items are deterministic
+    120-char prefixes of every 37th document; a document is flagged when
+    it contains >= 50% (and >= 2) of an item's distinct 3-gram word
+    shingles — catches the source doc and its planted near-dups."""
+    from search_engine_spark.pipeline import curate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 120).alias("bench_text"),
+    )
+    return curate.contamination_report(
+        docs, bench, shingle_k=3, min_overlap_frac=0.5, min_hits=2
+    )
+
+
+SQL_DECONTAM_REPORT = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 37 = 0
+),
+bg AS (
+  SELECT bench_id, len(sh) AS n_bench, unnest(sh) AS gram
+  FROM (SELECT bench_id, {_SHINGLES} AS sh FROM bench)
+),
+dg AS (
+  SELECT id, unnest(sh) AS gram
+  FROM (SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents)
+),
+hits AS (
+  SELECT id, bench_id, n_bench, count(*)::BIGINT AS n_hit
+  FROM dg JOIN bg USING (gram)
+  WHERE gram != ''
+  GROUP BY id, bench_id, n_bench
+)
+SELECT id, bench_id, n_hit, n_bench::BIGINT AS n_bench,
+       round(n_hit / n_bench, 6)::DOUBLE AS overlap_frac
+FROM hits
+WHERE n_hit >= 2 AND n_hit >= 0.5 * n_bench
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,5 +1295,6 @@ PIPELINE_QUERIES = {
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "curate_decisions": (q_curate, _sql_curate()),
+    "decontam_report": (q_decontam_report, SQL_DECONTAM_REPORT),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

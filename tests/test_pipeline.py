@@ -295,6 +295,50 @@ def test_curated_corpus_materialization(spark, docs):
     dec.unpersist()
 
 
+def test_contamination_report_and_decontaminated_corpus(spark):
+    """A benchmark item's source doc (and a doc embedding the item's
+    text verbatim) are flagged; unrelated docs survive; the curate
+    integration reports 'benchmark' with highest precedence."""
+    from search_engine_spark.pipeline import curate
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima"
+    )
+    d = spark.createDataFrame(
+        [
+            (1, base),  # source of the bench item
+            (2, "prefix words then " + base + " and a suffix"),  # embeds it
+            (3, "totally different words about completely other topics "
+                "nothing shared here at all with anything else"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base)], "bench_id long, bench_text string"
+    )
+    rep = curate.contamination_report(
+        d, bench, shingle_k=3, min_overlap_frac=0.5
+    )
+    flagged = {(r.id, r.bench_id) for r in rep.collect()}
+    assert flagged == {(1, 100), (2, 100)}
+    self_hit = rep.where(F.col("id") == 1).head()
+    assert self_hit.n_hit == self_hit.n_bench  # full containment
+    assert self_hit.overlap_frac == 1.0
+
+    kept = curate.decontaminated_corpus(
+        d, bench, shingle_k=3, min_overlap_frac=0.5
+    )
+    assert {r.doc_id for r in kept.collect()} == {3}
+
+    dec = curate.curate_decisions(
+        d, bench=bench, contamination_kwargs={"shingle_k": 3}
+    )
+    reasons = {r.id: r.reason for r in dec.collect()}
+    assert reasons[1] == "benchmark" and reasons[2] == "benchmark"
+    assert reasons[3] == "kept"
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from search_engine_spark.pipeline import textstats
 
