@@ -817,6 +817,57 @@ WHERE n_hit >= 2 AND n_hit >= 0.5 * n_bench
 """
 
 
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: deterministic doc order,
+    512-token packs, distributed two-level prefix sum (bucket window +
+    broadcast bucket-prefix — never a global single-partition window)."""
+    from search_engine_spark.pipeline import packing
+
+    return packing.pack_assignments(
+        _docs(spark, sf_dir), seq_len=512, bucket_span=128
+    )
+
+
+SQL_PACKING = f"""
+WITH t AS (
+  SELECT doc_id AS id, len({_TOK})::BIGINT AS n_tokens FROM documents
+),
+p AS (
+  SELECT id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM t
+)
+SELECT id, n_tokens,
+       (prefix // 512)::BIGINT AS pack_id,
+       (prefix % 512)::BIGINT AS pack_offset
+FROM p
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-lang keep rates via a
+    salted md5 hash fraction of doc_id — exactly reproducible, no RNG."""
+    from search_engine_spark.pipeline import packing
+
+    return packing.mixture_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.8, "de": 0.5, "fr": 0.25},
+        group_col="lang",
+        seed=7,
+    ).select("doc_id", "lang")
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+       / 4294967296.0)
+      < (CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                   WHEN 'fr' THEN 0.25 ELSE 0.0 END)
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,5 +1347,7 @@ PIPELINE_QUERIES = {
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "curate_decisions": (q_curate, _sql_curate()),
     "decontam_report": (q_decontam_report, SQL_DECONTAM_REPORT),
+    "packing_assignments": (q_packing, SQL_PACKING),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

@@ -339,6 +339,48 @@ def test_contamination_report_and_decontaminated_corpus(spark):
     assert reasons[3] == "kept"
 
 
+def test_pack_assignments_match_naive_scan_and_mixture_sampling(spark):
+    """Distributed two-level prefix sum == a naive sequential scan;
+    mixture sampling honors degenerate weights and is deterministic."""
+    from search_engine_spark.pipeline import packing
+
+    d = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1), "a" if i % 3 else "b") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    a = (
+        packing.pack_assignments(d, seq_len=10, bucket_span=8)
+        .orderBy("id")
+        .collect()
+    )
+    assert len(a) == 50
+    prefix = 0
+    for r in a:  # naive concat-and-chop reference
+        assert (r.pack_id, r.pack_offset) == (prefix // 10, prefix % 10)
+        prefix += r.n_tokens
+    st = {
+        r.pack_id: r.n_docs_started
+        for r in packing.pack_stats(
+            packing.pack_assignments(d, seq_len=10, bucket_span=8)
+        ).collect()
+    }
+    assert sum(st.values()) == 50
+    assert max(st) == (prefix - a[-1].n_tokens) // 10
+
+    keep_all_a = packing.mixture_sample(
+        d, {"a": 1.0, "b": 0.0}, group_col="lang"
+    )
+    got = {r.lang for r in keep_all_a.collect()}
+    assert got == {"a"} and keep_all_a.count() == sum(1 for i in range(50) if i % 3)
+    half1 = packing.mixture_sample(d, {"a": 0.5, "b": 0.5}, group_col="lang")
+    half2 = packing.mixture_sample(d, {"a": 0.5, "b": 0.5}, group_col="lang")
+    ids1 = sorted(r.doc_id for r in half1.collect())
+    assert ids1 == sorted(r.doc_id for r in half2.collect())  # deterministic
+    assert 0 < len(ids1) < 50
+    with pytest.raises(ValueError):
+        packing.mixture_sample(d, {"a": 1.5}, group_col="lang")
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from search_engine_spark.pipeline import textstats
 
