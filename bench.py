@@ -83,6 +83,15 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Each Arrow-stage task is really a PAIR of runnable threads — the
+        # JVM feed/drain side plus the python worker — so schedule tasks
+        # as 2-core.  Measured on this host at 1.28M docs: local[32] build
+        # 12.5k -> 27.7k docs/s (thread-dump evidence: 32 RUNNABLE
+        # executor threads + 32 computing python workers = 64 runnable
+        # threads on 32 vcpus, sys/steal thrash).  Transfers to real
+        # clusters as executor sizing (spark.task.cpus=2 or half-vcore
+        # task slots) for pandas-UDF-heavy stages.
+        .config("spark.task.cpus", "2" if cores >= 2 else "1")
     )
     # ad-hoc tuning sweeps: SPARK_GRAFT_SPARK_CONF='{"spark.x": "y", ...}'
     for k, v in json.loads(
@@ -763,19 +772,18 @@ def main() -> None:
 
     if args.scaling:
         # Same job, same input, two parallelism levels — the sandbox
-        # stand-in for N vs 4N executors (see BASELINE.md).  Defaults:
-        # local[4] vs local[16] with a compute-dominated input (this VM's
-        # vCPUs scale linearly to 16 threads; beyond that the host
-        # overcommits — measured with a pure-CPU multiprocessing probe).
-        # Default N=1 vs 4N=4: the per-executor scaling regime (standard
-        # Spark deployments run 4-5-core executors).  This VM's single-JVM
-        # local mode saturates beyond ~4-8 python workers on kernel-side
-        # Arrow IPC (sys-time inflation, see BASELINE.md); across separate
-        # executor JVMs that contention is per-node.  Override with
-        # SPARK_GRAFT_SCALING_CORES=4,16 etc. for the full curve.
+        # stand-in for N vs 4N executors (see BASELINE.md).  With the
+        # 2-core task sizing above, one task SLOT = one (JVM feed +
+        # python worker) pair, so N vs 4N task slots = local[2] vs
+        # local[8] — the default pair.  local[8] vs local[32] (4 -> 16
+        # slots) is the wider instantiation; beyond ~16 busy threads
+        # this host's hypervisor overcommits (pure-CPU probe:
+        # `--cpu-probe`), so wall-clock ratios there are bounded by the
+        # hardware ceiling, not the engine.  Override with
+        # SPARK_GRAFT_SCALING_CORES=8,32 etc. for the full curve.
         lo_c, hi_c = (
             int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")
+            for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
         )
         scale_reps = int(
             os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "256")

@@ -15,6 +15,14 @@ Local smoke::
 The session comes from ``SparkSession.builder.getOrCreate()`` so all
 cluster sizing (executors, memory, shuffle partitions) flows in from
 spark-submit / spark-defaults; the engine only sets Arrow on.
+
+Sizing note for build jobs: the tokenize/merge stages are Arrow
+``mapInPandas`` stages where each task is really TWO runnable threads
+(the executor's Arrow feed/drain side plus the python worker).  Submit
+builds with ``--conf spark.task.cpus=2`` (or halve
+``spark.executor.cores``) so the scheduler doesn't oversubscribe
+executor vcores — measured 2.2x build throughput at 32 local cores
+(see BASELINE.md round-3 scaling section).
 """
 
 from __future__ import annotations
