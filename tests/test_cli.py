@@ -203,3 +203,23 @@ def test_cli_curate(ws, capsys):
     # PII scrub applied on the way out
     assert curated.where(F.col("text").contains("bob@example.com")).count() == 0
     assert spark.read.parquet(dec_dir).count() == 21
+
+    # --bench: doc 5's text as an eval item drops doc 5 with reason
+    # 'benchmark' (highest precedence), on top of the run above
+    bench_dir = str(base / "curate_bench")
+    spark.createDataFrame(
+        [(900, base_text(5))], "bench_id long, bench_text string"
+    ).write.parquet(bench_dir)
+    out2_dir = str(base / "curate_out2")
+    dec2_dir = str(base / "curate_dec2")
+    out2 = _run(capsys, [
+        "curate", "--input", src, "--output", out2_dir,
+        "--decisions", dec2_dir, "--min-quality", "0.3",
+        "--bench", bench_dir, "--bench-shingle-k", "3",
+    ])
+    res2 = json.loads(out2.strip().splitlines()[-1])
+    assert res2["reasons"].get("benchmark", 0) >= 1
+    dec2 = spark.read.parquet(dec2_dir)
+    assert dec2.where(
+        (F.col("id") == 5) & (F.col("reason") == "benchmark")
+    ).count() == 1
