@@ -846,6 +846,30 @@ FROM p
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first token-budget selection: quality-DESC greedy keep while
+    the exclusive running token total stays under 3000 — the bucketed
+    two-level prefix sum vs the oracle's plain global-order window."""
+    from search_engine_spark.pipeline import packing
+
+    return packing.take_token_budget(_docs(spark, sf_dir), 3000)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH q AS ({SQL_QUALITY}),
+p AS (
+  SELECT id, n_tokens, quality,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY quality DESC, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix_tokens
+  FROM q
+)
+SELECT id, n_tokens, quality, prefix_tokens
+FROM p WHERE prefix_tokens < 3000
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture sampling: per-lang keep rates via a
     salted md5 hash fraction of doc_id — exactly reproducible, no RNG."""
@@ -1348,6 +1372,7 @@ PIPELINE_QUERIES = {
     "curate_decisions": (q_curate, _sql_curate()),
     "decontam_report": (q_decontam_report, SQL_DECONTAM_REPORT),
     "packing_assignments": (q_packing, SQL_PACKING),
+    "token_budget_select": (q_token_budget, SQL_TOKEN_BUDGET),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

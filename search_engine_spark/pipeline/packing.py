@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from search_engine_spark.pipeline import textstats
 from search_engine_spark.pipeline.dedup import tokens_col
 
 # 2^32 as double — the hash-fraction denominator (md5 first 8 hex chars)
@@ -125,6 +126,68 @@ def pack_stats(assignments: DataFrame, seq_len: int = 2048) -> DataFrame:
             F.min("id").alias("first_id"),
             F.sum("n_tokens").cast("long").alias("tokens_started"),
         )
+    )
+
+
+def take_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_quality_buckets: int = 100,
+) -> DataFrame:
+    """Best-first selection under a token budget: rank documents by
+    (quality DESC, id) — quality from ``textstats.quality_scores`` —
+    and keep every document whose *exclusive* running token total is
+    still under ``budget_tokens`` (the straddling document is kept
+    whole).  This is the "curate the best N-billion tokens" step of a
+    pretraining pipeline.
+
+    Returns ``(id, n_tokens, quality, prefix_tokens)`` for the kept
+    documents.
+
+    The running total uses the same two-level distributed prefix sum as
+    :func:`pack_assignments`, with ``floor(quality * K)`` as the bucket
+    (quality is bounded [0,1], so buckets are orderable and the
+    per-bucket totals table is at most K rows) — quality-descending
+    global order without a corpus-wide single-task window.
+    """
+    k = int(n_quality_buckets)
+    prof = textstats.quality_scores(docs, id_col, text_col).select(
+        "id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+    d = prof.withColumn(
+        "_bucket",
+        F.least(F.floor(F.col("quality") * k), F.lit(k - 1)).cast("long"),
+    )
+    bucket_prefix = (
+        d.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_bsum"))
+        .withColumn(
+            "_bprefix",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.orderBy(F.col("_bucket").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("_bsum")
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(
+        F.col("quality").desc(), "id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        d.join(F.broadcast(bucket_prefix), "_bucket")
+        .withColumn(
+            "prefix_tokens",
+            F.col("_bprefix")
+            + F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0)),
+        )
+        .where(F.col("prefix_tokens") < F.lit(int(budget_tokens)))
+        .select("id", "n_tokens", "quality", "prefix_tokens")
     )
 
 

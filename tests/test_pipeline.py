@@ -381,6 +381,28 @@ def test_pack_assignments_match_naive_scan_and_mixture_sampling(spark):
         packing.mixture_sample(d, {"a": 1.5}, group_col="lang")
 
 
+def test_take_token_budget_is_greedy_best_first(spark, docs):
+    """Kept set == the naive sort-by-(quality desc, id) greedy prefix;
+    the straddling doc is kept whole, everything after it dropped."""
+    from search_engine_spark.pipeline import packing, textstats
+
+    budget = 3000
+    kept = packing.take_token_budget(
+        docs, budget, id_col="doc_id", text_col="text"
+    ).collect()
+    prof = textstats.quality_scores(docs, "doc_id", "text").collect()
+    order = sorted(prof, key=lambda r: (-r.quality, r.id))
+    naive, prefix = [], 0
+    for r in order:
+        if prefix >= budget:
+            break
+        naive.append((r.id, prefix))
+        prefix += r.n_tokens
+    assert {r.id for r in kept} == {i for i, _ in naive}
+    assert {(r.id, r.prefix_tokens) for r in kept} == set(naive)
+    assert sum(r.n_tokens for r in kept) >= budget  # straddler included
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     from search_engine_spark.pipeline import textstats
 
