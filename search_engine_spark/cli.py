@@ -432,6 +432,55 @@ def cmd_curate(args: argparse.Namespace) -> None:
                       "kept_rows": counts.get("kept", 0)}))
 
 
+def cmd_compose(args: argparse.Namespace) -> None:
+    """Training-data composition: optional domain-mixture sampling ->
+    optional token-budget best-first selection -> surviving corpus out;
+    optionally also writes concat-and-chop pack assignments for the
+    survivors (pipeline/packing.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipeline import packing
+
+    spark = _spark("se-compose")
+    df = (
+        spark.read.parquet(args.input)
+        if os.path.exists(args.input)
+        else spark.read.table(args.input)
+    )
+    n_in = df.count()
+    if args.mixture:
+        weights = {}
+        for part in args.mixture.split(","):
+            g, w = part.split("=")
+            weights[g] = float(w)
+        df = packing.mixture_sample(
+            df, weights, group_col=args.group_col, id_col=args.id_col,
+            seed=args.seed,
+        )
+    if args.token_budget is not None:
+        kept = packing.take_token_budget(
+            df, args.token_budget, id_col=args.id_col, text_col=args.text_col
+        ).select(F.col("id").alias(args.id_col))
+        df = df.join(F.broadcast(kept), args.id_col, "left_semi")
+    df.write.mode("error").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n_out = out.count()
+    n_packs = None
+    if args.pack_out:
+        asn = packing.pack_assignments(
+            out, id_col=args.id_col, text_col=args.text_col,
+            seq_len=args.pack_seq_len,
+        )
+        asn.write.mode("error").parquet(args.pack_out)
+        n_packs = (
+            packing.pack_stats(asn, args.pack_seq_len).count()
+        )
+    print(json.dumps({"input_rows": n_in, "kept_rows": n_out,
+                      "n_packs": n_packs}))
+
+
 def cmd_serve(args: argparse.Namespace) -> None:
     """Long-lived HTTP search endpoint over a warm engine (twin of the
     reference's web.py; also kills the per-query cold-start the one-shot
@@ -595,6 +644,25 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--bench-shingle-k", type=int, default=8)
     cu.add_argument("--bench-overlap", type=float, default=0.5)
     cu.set_defaults(fn=cmd_curate)
+
+    co = sub.add_parser(
+        "compose",
+        help="mixture-sample + token-budget select + sequence-pack a corpus",
+    )
+    co.add_argument("--input", required=True)
+    co.add_argument("--output", required=True)
+    co.add_argument("--id-col", default="doc_id")
+    co.add_argument("--text-col", default="text")
+    co.add_argument("--group-col", default="lang")
+    co.add_argument("--mixture", default=None,
+                    help="per-group keep rates, e.g. en=0.8,de=0.5")
+    co.add_argument("--seed", type=int, default=7)
+    co.add_argument("--token-budget", type=int, default=None,
+                    help="keep best-quality docs up to this many tokens")
+    co.add_argument("--pack-out", default=None,
+                    help="also write pack assignments here")
+    co.add_argument("--pack-seq-len", type=int, default=2048)
+    co.set_defaults(fn=cmd_compose)
 
     sv = sub.add_parser(
         "serve", help="HTTP search endpoint over a warm engine"

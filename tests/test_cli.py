@@ -172,6 +172,38 @@ def test_cli_stream_ingest(ws, capsys):
     assert res["indexed"] == 70 and res["num_docs"] == 70
 
 
+def test_cli_compose(ws, capsys):
+    """mixture + token budget + packing end-to-end through the CLI."""
+    spark, base, _corpus = ws
+    src = str(base / "compose_in")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"t{i}w{j}" for j in range(10)),
+             "en" if i % 2 else "de")
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    out_dir = str(base / "compose_out")
+    pack_dir = str(base / "compose_packs")
+    out = _run(capsys, [
+        "compose", "--input", src, "--output", out_dir,
+        "--mixture", "en=1.0,de=0.0", "--token-budget", "120",
+        "--pack-out", pack_dir, "--pack-seq-len", "50",
+    ])
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["input_rows"] == 40
+    # de dropped entirely; 10-token docs -> budget 120 keeps 12 en docs
+    assert res["kept_rows"] == 12
+    kept = spark.read.parquet(out_dir)
+    assert kept.where(F.col("lang") == "de").count() == 0
+    # 12 docs x 10 tokens / 50-token packs -> 3 packs
+    assert res["n_packs"] == 3
+    asn = spark.read.parquet(pack_dir)
+    assert asn.count() == 12
+    assert asn.agg(F.max("pack_id")).head()[0] == 2
+
+
 def test_cli_curate(ws, capsys):
     spark, base, _corpus = ws
     src = str(base / "curate_in")
