@@ -6,7 +6,10 @@ partition-pruned probes), embedding ingestion (batched pluggable encoder,
 layer-norm/truncate/L2), the offline training-dataset pipeline (rank
 pivot, match labels, negatives join, hash split, expression-only ranking
 features), text analysis (language id, quality scoring, token counting,
-fingerprinting), and multimodal binary-column plumbing.
+fingerprinting), corpus curation (composed keep/drop decisions, PII
+scrub, benchmark decontamination), training-data composition (sequence
+packing, domain-mixture sampling, token-budget selection), and
+multimodal binary-column plumbing.
 
 Everything is built from JVM-side ``pyspark.sql.functions`` higher-order
 expressions (whole-stage codegen, no Python in the hot path) except the
