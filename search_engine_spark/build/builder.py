@@ -227,21 +227,27 @@ class IndexBuilder:
             self.store.doclens_batch_path(batch_id)
         )
 
-        # batch metrics from the written output (metadata-cheap scans)
-        agg = written.where(F.col("term") != "").agg(
-            F.count("*").alias("rows"),
-            F.sum("df").alias("postings"),
+        # batch metrics from the written output — ONE job for posting
+        # stats and the doc count (the reserved "" group's df IS the
+        # per-chunk doc count), not a separate rescan: per-batch serial
+        # jobs are the Amdahl term the scaling bench surfaced
+        is_post = F.col("term") != ""
+        agg = written.agg(
+            F.count(F.when(is_post, 1)).alias("rows"),
+            F.sum(F.when(is_post, F.col("df"))).alias("postings"),
             F.sum(
-                F.length("doc_ids")
-                + F.length("tfs_body")
-                + F.length("tfs_title")
-                + F.length("pos_body")
-                + F.length("pos_title")
+                F.when(
+                    is_post,
+                    F.length("doc_ids")
+                    + F.length("tfs_body")
+                    + F.length("tfs_title")
+                    + F.length("pos_body")
+                    + F.length("pos_title"),
+                )
             ).alias("bytes"),
+            F.sum(F.when(~is_post, F.col("df"))).alias("n_docs"),
         ).head()
-        n_docs = self.spark.read.parquet(
-            self.store.doclens_batch_path(batch_id)
-        ).agg(F.sum("n_docs")).head()[0]
+        n_docs = agg.n_docs
         wall = time.time() - t0
         metric = {
             "batch_id": batch_id,
