@@ -774,6 +774,37 @@ LEFT JOIN dups ON dups.id = d.doc_id
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters in word-unit mode (the synthetic corpus
+    is single-line, so words are the unit with actual repetition):
+    duplicate-unit fraction + most-repeated-unit share."""
+    return textstats.repetition_scores(
+        _docs(spark, sf_dir), "doc_id", "text", unit_sep=" "
+    )
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), u -> trim(u) != '') AS units
+  FROM documents
+),
+c AS (
+  SELECT id, len(units) AS n, len(list_distinct(units)) AS nd,
+         coalesce(list_max(list_transform(list_distinct(units),
+            u -> len(list_filter(units, x -> x = u)))), 0) AS top
+  FROM t
+)
+SELECT id, n::BIGINT AS n_units, nd::BIGINT AS n_distinct_units,
+       round(CASE WHEN n > 0 THEN (n - nd) / n::DOUBLE ELSE 0.0 END, 6)::DOUBLE
+         AS dup_unit_frac,
+       top::BIGINT AS top_unit_count,
+       round(CASE WHEN n > 0 THEN top / n::DOUBLE ELSE 0.0 END, 6)::DOUBLE
+         AS top_unit_frac
+FROM c
+"""
+
+
 def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination report: eval items are deterministic
     120-char prefixes of every 37th document; a document is flagged when
@@ -1369,6 +1400,7 @@ PIPELINE_QUERIES = {
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "text_repetition": (q_repetition, SQL_REPETITION),
     "curate_decisions": (q_curate, _sql_curate()),
     "decontam_report": (q_decontam_report, SQL_DECONTAM_REPORT),
     "packing_assignments": (q_packing, SQL_PACKING),

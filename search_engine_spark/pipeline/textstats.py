@@ -218,6 +218,53 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def repetition_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition filters: split the document into units
+    (lines by default; ``unit_sep`` is a regex — ``"\\n\\n"`` for
+    paragraphs, ``" "`` for words), drop blank units, and score
+    repetition: ``dup_unit_frac`` = fraction of units that are
+    duplicates of an earlier one (1 - distinct/total), and
+    ``top_unit_frac`` = share of the most-repeated unit.  High values
+    flag boilerplate/spam documents (Rae et al. 2021, Gopher §A1.1.2).
+
+    Expression-form note: the per-distinct-unit count is a nested
+    higher-order function — O(distinct x units) per document and
+    subject to the Catalyst re-inline cost documented on
+    :func:`text_profile`.  Fine for filtering passes over normal
+    documents (units per doc is small); a corpus-scale hot loop should
+    evaluate it inside an Arrow kernel like the other profile columns.
+    """
+    units = F.filter(
+        F.split(F.col(text_col), unit_sep),
+        lambda u: F.trim(u) != "",
+    )
+    n = F.size(units)
+    nd = F.size(F.array_distinct(units))
+    counts = F.transform(
+        F.array_distinct(units),
+        lambda u: F.size(F.filter(units, lambda x: x == u)),
+    )
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    safe_n = F.when(n > 0, n.cast("double"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_units"),
+        nd.cast("long").alias("n_distinct_units"),
+        F.round(
+            F.coalesce((n - nd) / safe_n, F.lit(0.0)), 6
+        ).alias("dup_unit_frac"),
+        top.cast("long").alias("top_unit_count"),
+        F.round(
+            F.coalesce(top / safe_n, F.lit(0.0)), 6
+        ).alias("top_unit_frac"),
+    )
+
+
 def corpus_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-row corpus profile: doc count, total/max/min/avg tokens and
     the distinct vocabulary size.  Token totals come from one projection

@@ -381,6 +381,32 @@ def test_pack_assignments_match_naive_scan_and_mixture_sampling(spark):
         packing.mixture_sample(d, {"a": 1.5}, group_col="lang")
 
 
+def test_repetition_scores_line_and_word_modes(spark):
+    from search_engine_spark.pipeline import textstats
+
+    d = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nunique line"),
+            (2, "all lines\ndiffer here\ncompletely so"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x.id: x
+        for x in textstats.repetition_scores(d, "doc_id", "text").collect()
+    }
+    assert (r[1].n_units, r[1].n_distinct_units, r[1].top_unit_count) == (4, 2, 3)
+    assert r[1].dup_unit_frac == 0.5 and r[1].top_unit_frac == 0.75
+    assert r[2].dup_unit_frac == 0.0 and r[2].top_unit_count == 1
+    assert (r[3].n_units, r[3].dup_unit_frac, r[3].top_unit_frac) == (0, 0.0, 0.0)
+    # word mode: separator is a regex argument
+    w = textstats.repetition_scores(
+        d.where(F.col("doc_id") == 1), "doc_id", "text", unit_sep="[\\s]+"
+    ).head()
+    assert w.n_units == 8 and w.top_unit_count == 3  # 'buy'/'now' x3
+
+
 def test_take_token_budget_is_greedy_best_first(spark, docs):
     """Kept set == the naive sort-by-(quality desc, id) greedy prefix;
     the straddling doc is kept whole, everything after it dropped."""
