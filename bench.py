@@ -636,6 +636,72 @@ def _pipeline_scale_bench(spark, sf_dir: str) -> dict:
     out["curate_sec"] = round(dt, 2)
     out["curate_rows_per_sec"] = round(n_big / dt, 1)
     out["curate_reasons"] = {k: int(v) for k, v in reasons.items()}
+
+    # composition ops (round-3 session-3): decontam / mixture / token
+    # budget / packing anchors at the same 1.28M rows
+    from search_engine_spark.pipeline import curate as _cur
+    from search_engine_spark.pipeline import packing
+
+    bench_tbl = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 120).alias("bench_text"),
+    )
+    t = time.time()
+    n_flagged = _cur.contamination_report(
+        big, bench_tbl, shingle_k=3, min_overlap_frac=0.5, min_hits=2
+    ).count()
+    dt = time.time() - t
+    out["decontam_sec"] = round(dt, 2)
+    out["decontam_rows_per_sec"] = round(n_big / dt, 1)
+    out["decontam_flagged_pairs"] = int(n_flagged)
+
+    t = time.time()
+    n_kept = packing.mixture_sample(
+        big.withColumn(
+            "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+        ),
+        {"en": 0.8, "de": 0.3},
+    ).count()
+    dt = time.time() - t
+    out["mixture_sample_sec"] = round(dt, 2)
+    out["mixture_sample_rows_per_sec"] = round(n_big / dt, 1)
+    out["mixture_kept_rows"] = int(n_kept)
+
+    t = time.time()
+    tb = (
+        packing.take_token_budget(big, 20_000_000)
+        .agg(F.count("*"), F.max("prefix_tokens"))
+        .head()
+    )
+    dt = time.time() - t
+    out["token_budget_sec"] = round(dt, 2)
+    out["token_budget_rows_per_sec"] = round(n_big / dt, 1)
+    out["token_budget_kept_rows"] = int(tb[0])
+
+    t = time.time()
+    pk = (
+        packing.pack_assignments(big, seq_len=2048)
+        .agg(F.max("pack_id"), F.sum("n_tokens"))
+        .head()
+    )
+    dt = time.time() - t
+    out["packing_sec"] = round(dt, 2)
+    out["packing_rows_per_sec"] = round(n_big / dt, 1)
+    out["packing_n_packs"] = int(pk[0]) + 1
+
+    # repetition filters: word-unit mode is O(distinct x units) per doc
+    # in the interpreted HOF path (see repetition_scores docstring), so
+    # anchor it on a 10% slice and report that slice's rate honestly
+    rep_slice = big.where(F.col("doc_id") % 10 == 0)
+    n_slice = rep_slice.count()
+    t = time.time()
+    textstats.repetition_scores(
+        rep_slice, "doc_id", "text", unit_sep=" "
+    ).agg(F.sum("top_unit_count"), F.sum("dup_unit_frac")).collect()
+    dt = time.time() - t
+    out["repetition_rows"] = int(n_slice)
+    out["repetition_sec"] = round(dt, 2)
+    out["repetition_rows_per_sec"] = round(n_slice / dt, 1)
     big.unpersist()
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
