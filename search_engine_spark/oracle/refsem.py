@@ -25,10 +25,15 @@ each is covered by a fixture and mirrored by the engine):
 1. NOT-complement iteration order is ascending doc_id (reference iterates a
    Python ``set``; for the bounded top-k with all-zero scores the kept set
    equals "first 100 ascending", which ascending iteration reproduces).
-2. Equal-score ties are ordered by ascending doc_id everywhere (the
-   reference's bounded heap keeps first-seen = smallest doc_id on boundary
-   ties, so the *selected set* is identical; only intra-tie output order is
-   pinned).
+2. Equal-score ties are ordered by ascending doc_id everywhere.  When the
+   *top-k cut itself* falls inside a group of bit-equal scores, the
+   reference's selected subset is a heap-array/set-iteration artifact
+   (``heapq`` pushes full candidate tuples, then stable-sorts by score
+   only, :1776) — e.g. an all-identical-docs corpus returns a permuted,
+   arbitrary 10-of-12 subset.  The oracle pins "smallest doc_ids win the
+   cut"; the property test compares score sequences exactly and doc-id
+   sets per score group except the straddling group, whose reference
+   picks are only required to be genuine tied candidates.
 3. The all-terms-pruned AND result is empty (the reference propagates a
    ``[-1]`` sentinel into scoring and would index ``document_lengths[-1]``,
    i.e. score a nonexistent doc — ``inverted_index.py:251-252``).
