@@ -837,6 +837,28 @@ LIMIT 20
 )
 
 
+def q_search_deleted_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged deletion contract (one driver row for both stages): the
+    same ranked OR query under logical tombstones ('deleted') and after
+    physical purge via compact()+vacuum ('purged') — the purged stage
+    must score identically to a fresh build over survivors while the
+    deleted stage keeps pre-delete collection stats."""
+    d = q_search_deleted(spark, sf_dir).select(
+        F.lit("deleted").alias("stage"), "doc_id", "score"
+    )
+    p = q_search_purged(spark, sf_dir).select(
+        F.lit("purged").alias("stage"), "doc_id", "score"
+    )
+    return d.unionByName(p)
+
+
+SQL_SEARCH_DELETED_PURGED = f"""
+SELECT 'deleted' AS stage, doc_id, score FROM ({SQL_SEARCH_DELETED})
+UNION ALL
+SELECT 'purged' AS stage, doc_id, score FROM ({SQL_SEARCH_PURGED})
+"""
+
+
 # ------------------------------------------------------------------ upsert
 #
 # Re-ingesting a changed document (same (repo, path), new commit) through
@@ -1276,6 +1298,70 @@ LEFT JOIN best b ON b.qtok = p.qtok AND b.b = 1
 """
 
 
+def q_spelling_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged Q23 contract (one driver row for the whole funnel): the
+    per-token Jaccard top-10 candidate pool (stage 1) joined with the
+    end-to-end correction (Jaccard 75 -> edit-distance 50 -> argmax df).
+    One row per (probe, pool candidate); probes with no shared trigram
+    keep a single NULL-pool row mapping to themselves."""
+    from search_engine_spark.functions.trigrams import get_trigrams_from_token
+    from search_engine_spark.query.spelling import SpellingCorrector
+
+    engine = get_engine(spark, sf_dir)
+    _ensure_trigrams(engine)
+    sc = SpellingCorrector(
+        spark, engine.store, jaccard_pool=10, cache_table=False
+    )
+    tok_tris = {
+        t: tuple(sorted(get_trigrams_from_token(t))) for t in SPELL_PROBES
+    }
+    pools = sc._jaccard_pools({t: x for t, x in tok_tris.items() if x})
+    corrected = SpellingCorrector(
+        spark, engine.store, cache_table=False
+    ).correct_many(SPELL_PROBES)
+    rows = []
+    for q in SPELL_PROBES:
+        lst = pools.get(q, [])
+        if not lst:
+            rows.append((q, None, None, None, None, None, corrected[q]))
+        for i, (tok, nt, df, over) in enumerate(lst):
+            rows.append(
+                (q, i + 1, tok, int(over), int(nt), int(df), corrected[q])
+            )
+    return spark.createDataFrame(
+        rows,
+        "qtok string, rank long, token string, overlap long, "
+        "n_trigrams long, df long, corrected string",
+    )
+
+
+SQL_SPELLING_FUNNEL = f"""{_VOCAB_TRIS_CTES}{_PROBE_CTES},
+ed AS (
+  SELECT qtok, token, df,
+         row_number() OVER (
+           PARTITION BY qtok ORDER BY levenshtein(token, qtok), token
+         ) AS ed_rn
+  FROM ranked WHERE rank <= 75
+),
+best AS (
+  SELECT qtok, token,
+         row_number() OVER (PARTITION BY qtok ORDER BY df DESC, token) AS b
+  FROM ed WHERE ed_rn <= 50
+),
+corr AS (
+  SELECT p.qtok, coalesce(b.token, p.qtok) AS corrected
+  FROM (SELECT qtok FROM probe) p
+  LEFT JOIN best b ON b.qtok = p.qtok AND b.b = 1
+),
+pool AS (
+  SELECT qtok, rank, token, overlap, n_trigrams, df
+  FROM ranked WHERE rank <= 10
+)
+SELECT c.qtok, p.rank, p.token, p.overlap, p.n_trigrams, p.df, c.corrected
+FROM corr c LEFT JOIN pool p ON p.qtok = c.qtok
+"""
+
+
 # ------------------------------------------- code-aware tokenizer (payload)
 #
 # The input_hint payload is source code; ``tokenizer="code"`` splits
@@ -1355,8 +1441,10 @@ CORE_QUERIES = {
     "search_rerank_topk": (q_search_rerank, _sql_search_rerank()),
     "csv_corpus_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "spelling_trigram_table": (q_spelling_trigrams, SQL_SPELLING_TRIGRAMS),
-    "spelling_jaccard_topk": (q_spelling_jaccard, SQL_SPELLING_JACCARD),
-    "spelling_correct": (q_spelling_correct, SQL_SPELLING_CORRECT),
+    # merged funnel contract (r4): one driver row hash-checks both the
+    # Jaccard candidate pool and the end-to-end correction; the split
+    # q_spelling_jaccard / q_spelling_correct stay as unit fixtures
+    "spelling_funnel": (q_spelling_funnel, SQL_SPELLING_FUNNEL),
     "search_semantic_topk": (q_search_semantic, _sql_search_semantic()),
     "docs_table": (q_docs_table, SQL_DOCS_TABLE),
     "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
@@ -1368,7 +1456,11 @@ CORE_QUERIES = {
     "search_boolean_topk": (q_search_boolean, SQL_SEARCH_BOOLEAN),
     "search_filtered_topk": (q_search_filtered, SQL_SEARCH_FILTERED),
     "facet_counts_lang": (q_facet_counts, SQL_FACET_COUNTS),
-    "search_deleted_topk": (q_search_deleted, SQL_SEARCH_DELETED),
-    "search_purged_topk": (q_search_purged, SQL_SEARCH_PURGED),
+    # merged deletion contract (r4): tombstone + physical-purge stages in
+    # one driver row; the split q_search_deleted / q_search_purged stay
+    # as unit fixtures
+    "search_deleted_purged_topk": (
+        q_search_deleted_purged, SQL_SEARCH_DELETED_PURGED,
+    ),
     "upsert_search_topk": (q_search_upsert, SQL_SEARCH_UPSERT),
 }

@@ -296,6 +296,28 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components_two_phase(pairs)
 
 
+def q_dedup_components_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged components contract (one driver row for both algorithms):
+    min-label propagation and large-star/small-star labels joined per
+    id — both must equal the recursive-closure oracle's min-reachable-id
+    labels, so any divergence between the two breaks the hash."""
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+    prop = dedup.dedup_components(pairs)
+    star = dedup.components_two_phase(pairs).withColumnRenamed(
+        "component", "component_star"
+    )
+    return prop.join(star, "id")
+
+
+def _sql_dedup_components_both() -> str:
+    return f"""
+WITH comp AS ({_sql_dedup_components()})
+SELECT id, component, component AS component_star FROM comp
+"""
+
+
 def _sql_dedup_components() -> str:
     """Recursive-CTE oracle: reachability closure, component = min
     reachable id (DuckDB explores the closure; Spark converges by label
@@ -430,6 +452,20 @@ def q_lsh_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("id", F.round("cos", 6).alias("cos"))
 
 
+def q_lsh_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged LSH ANN contract (one driver row for both lifecycle
+    stages): the partition-pruned probe over the full materialized index
+    ('full') and over the tombstone-deleted + compacted twin
+    ('deleted')."""
+    full = q_lsh_topk(spark, sf_dir).select(
+        F.lit("full").alias("stage"), "id", "cos"
+    )
+    deleted = q_lsh_deleted_topk(spark, sf_dir).select(
+        F.lit("deleted").alias("stage"), "id", "cos"
+    )
+    return full.unionByName(deleted)
+
+
 # --- ANN oracle SQL: full hash-checked twins.  The quantizer constants
 # (hyperplanes / k-means centroids) and the driver-side probe sets are
 # deterministic functions of the sf0.01 embeddings table + fixed seeds, so
@@ -505,6 +541,18 @@ scored AS (
 )
 SELECT id, round(cos, 6)::DOUBLE AS cos
 FROM scored ORDER BY cos DESC, id LIMIT 10
+"""
+
+
+def _sql_ann_lsh_both(sf_dir: str = CORRECTNESS_SF_DIR) -> str | None:
+    full = _sql_ann_lsh(sf_dir)
+    if full is None:
+        return None
+    deleted = _sql_ann_lsh(sf_dir, where="e.vec_id % 10 <> 0")
+    return f"""
+SELECT 'full' AS stage, id, cos FROM ({full})
+UNION ALL
+SELECT 'deleted' AS stage, id, cos FROM ({deleted})
 """
 
 
@@ -648,6 +696,70 @@ SQL_DOCLEN_HIST = f"""
 SELECT least(floor(len({_TOK}) / 100), 9)::INT AS bucket,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1
+"""
+
+
+_PROFILE_STAT_COLS = [
+    "n_docs", "total_tokens", "max_doc_tokens", "min_doc_tokens",
+    "avg_doc_tokens", "vocab_size",
+]
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged corpus-profiling contract (one driver row for both ops) in
+    long (metric, value) form: the one-row global stats unpivoted, plus
+    the doc-length histogram as ``doclen_bucket_<b>`` rows."""
+    docs = _docs(spark, sf_dir)
+    melted = textstats.corpus_stats(docs, "doc_id", "text").select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("metric"),
+                    F.col(c).cast("double").alias("value"),
+                )
+                for c in _PROFILE_STAT_COLS
+            ])
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    hist = textstats.doc_length_histogram(docs, "doc_id", "text").select(
+        F.concat(
+            F.lit("doclen_bucket_"), F.col("bucket").cast("string")
+        ).alias("metric"),
+        F.col("n_docs").cast("double").alias("value"),
+    )
+    return melted.unionByName(hist)
+
+
+SQL_CORPUS_PROFILE = f"""
+WITH t AS (SELECT len({_TOK}) AS n FROM documents),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+         max(n)::BIGINT AS max_doc_tokens, min(n)::BIGINT AS min_doc_tokens
+  FROM t
+),
+v AS (
+  SELECT count(DISTINCT tok)::BIGINT AS vocab_size
+  FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+),
+stats AS (
+  SELECT n_docs, total_tokens, max_doc_tokens, min_doc_tokens,
+         round(total_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens,
+         vocab_size
+  FROM s, v
+),
+hist AS (
+  SELECT least(floor(len({_TOK}) / 100), 9)::INT AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM stats
+UNION ALL SELECT 'total_tokens', total_tokens::DOUBLE FROM stats
+UNION ALL SELECT 'max_doc_tokens', max_doc_tokens::DOUBLE FROM stats
+UNION ALL SELECT 'min_doc_tokens', min_doc_tokens::DOUBLE FROM stats
+UNION ALL SELECT 'avg_doc_tokens', avg_doc_tokens FROM stats
+UNION ALL SELECT 'vocab_size', vocab_size::DOUBLE FROM stats
+UNION ALL SELECT 'doclen_bucket_' || bucket::VARCHAR, n_docs::DOUBLE
+FROM hist
 """
 
 
@@ -1364,24 +1476,25 @@ PIPELINE_QUERIES = {
     "dedup_minhash_neardup": (q_minhash_neardup, _sql_minhash_neardup()),
     "dedup_simhash": (q_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    # merged components contract (r4): one driver row hash-checks both
+    # the min-label-propagation and the large-star/small-star labels;
+    # the split q_dedup_components / q_dedup_components_star stay as
+    # unit fixtures
+    "dedup_components": (
+        q_dedup_components_both, _sql_dedup_components_both(),
+    ),
     "dedup_representatives": (
         q_dedup_representatives,
         _sql_dedup_representatives(),
-    ),
-    "dedup_components_star": (
-        q_dedup_components_star, _sql_dedup_components(),
     ),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
     "ann_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     # full hash-checked oracles (quantizer constants + probe sets inlined
     # from the fixed correctness sf dir); fall back to rows-only (None) if
     # that table is unreadable at import time
-    "ann_lsh_topk": (q_lsh_topk, _sql_ann_lsh()),
-    "ann_lsh_deleted_topk": (
-        q_lsh_deleted_topk,
-        _sql_ann_lsh(where="e.vec_id % 10 <> 0"),
-    ),
+    # merged LSH contract (r4): full + deleted lifecycle stages in one
+    # driver row; q_lsh_topk / q_lsh_deleted_topk stay as unit fixtures
+    "ann_lsh_topk": (q_lsh_both, _sql_ann_lsh_both()),
     "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf()),
     "embed_ingest": (q_embed_ingest, SQL_EMBED_INGEST),
     "dataset_rank_pivot": (q_ds_rank_pivot, SQL_DS_RANK_PIVOT),
@@ -1395,8 +1508,10 @@ PIPELINE_QUERIES = {
     "dataset_split_counts": (q_ds_split_counts, SQL_DS_SPLIT_COUNTS),
     "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
-    "text_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
-    "text_doclen_hist": (q_doclen_hist, SQL_DOCLEN_HIST),
+    # merged profiling contract (r4): global stats + doc-length histogram
+    # in long (metric, value) form; q_corpus_stats / q_doclen_hist stay
+    # as unit fixtures
+    "text_corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
     "text_quality": (q_quality, SQL_QUALITY),
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),

@@ -70,11 +70,7 @@ def _pairs():
     from search_engine_spark import contracts as cc
 
     for name, gen in (
-        ("ann_lsh_topk", cp._sql_ann_lsh),
-        (
-            "ann_lsh_deleted_topk",
-            lambda sf: cp._sql_ann_lsh(sf, where="e.vec_id % 10 <> 0"),
-        ),
+        ("ann_lsh_topk", cp._sql_ann_lsh_both),
         ("ann_ivf_topk", cp._sql_ann_ivf),
         ("dedup_embedding", cp._sql_dedup_embedding),
         ("search_semantic_topk", cc._sql_search_semantic),
