@@ -703,18 +703,32 @@ class SearchEngine:
     ) -> DataFrame:
         """Join doc metadata (and snippets when the corpus is supplied) —
         reference ``get_doc_info`` (inverted_index.py:1186-1219)."""
+        # the docs table is corpus-row-count sized: never broadcast or
+        # shuffle it.  Prune it to the hit set with a broadcast SEMI join
+        # (the only broadcast of the tiny ranked ids — the docs side is a
+        # streamed scan), then broadcast the <= |ranked| pruned metadata
+        # back onto the ranked rows.
         docs = self.store.read_docs().select(
             "doc_id", "repo", "path", "commit", "lang"
         )
-        out = ranked.join(F.broadcast(docs), "doc_id", "left")
+        hit_ids = ranked.select("doc_id").distinct()
+        docs_hit = docs.join(F.broadcast(hit_ids), "doc_id", "leftsemi")
+        out = ranked.join(F.broadcast(docs_hit), "doc_id", "left")
         if corpus is not None:
+            # same shape for the corpus-sized snippet source
             snip = corpus.select(
                 "repo", "path", "commit",
                 F.substring("content", 1, self.config.snippet_length).alias(
                     "snippet"
                 ),
             )
-            out = out.join(snip, ["repo", "path", "commit"], "left")
+            keys = out.select("repo", "path", "commit").distinct()
+            snip_hit = snip.join(
+                F.broadcast(keys), ["repo", "path", "commit"], "leftsemi"
+            )
+            out = out.join(
+                F.broadcast(snip_hit), ["repo", "path", "commit"], "left"
+            )
         return out.orderBy("qid", "rank")
 
     def _empty_ranked(self) -> DataFrame:

@@ -184,6 +184,51 @@ def test_doc_info_join(setup):
     assert all(r.path is not None for r in info)
 
 
+def _tree_indent(line: str) -> int:
+    marks = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
+    return min(marks) if marks else -1
+
+
+def _broadcast_subtrees(plan_str: str) -> list[str]:
+    """Every BroadcastExchange node's subtree (tree-art indent parse)."""
+    lines = plan_str.splitlines()
+    subs = []
+    for k, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _tree_indent(line)
+        body = [line]
+        for nxt in lines[k + 1:]:
+            dn = _tree_indent(nxt)
+            if 0 <= dn <= d:
+                break
+            body.append(nxt)
+        subs.append("\n".join(body))
+    return subs
+
+
+def test_doc_info_never_broadcasts_docs_table(setup, spark):
+    """The docs table is corpus-row-count sized: any BroadcastExchange
+    subtree that scans it must be the LeftSemi-pruned hit set, never the
+    raw table (a driver OOM at 100x scale)."""
+    engine, _oracle = setup
+    rows = synth_corpus(n_docs=150, seed=7)
+    corpus = spark.createDataFrame(rows)
+    ranked = engine.search("zqmerge", SearchMode.AND)
+    out = engine.with_doc_info(ranked, corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    docs_loc = str(engine.store.docs_path)
+    hits = 0
+    for sub in _broadcast_subtrees(plan):
+        if docs_loc in sub or "/docs]" in sub:
+            hits += 1
+            assert "LeftSemi" in sub, sub[:2000]
+    assert hits >= 1, plan[:2000]
+    info = out.collect()
+    assert len(info) > 0 and all(r.path is not None for r in info)
+    assert all(r.snippet is not None for r in info)
+
+
 def test_postings_scan_is_pruned(setup):
     """The postings scan must push bucket-partition + term filters down."""
     engine, _ = setup
