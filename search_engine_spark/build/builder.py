@@ -25,6 +25,8 @@ batch in the lineage table.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -421,6 +423,7 @@ class IndexBuilder:
         from search_engine_spark.sources.index_store import POSTINGS_SCHEMA
 
         t0 = _time.time()
+        self.repair_pending_finalize()
         committed = self.store.committed_batches()
         tomb = self.store.read_tombstones()
         if tomb is not None and tomb.isEmpty():
@@ -514,10 +517,14 @@ class IndexBuilder:
             }
         else:
             # purged sums differ from the replaced rows' — recount from
-            # the written batch (metadata-cheap aggregate scan)
+            # the written batch (metadata-cheap aggregate scan).  n_docs
+            # stays the replaced rows' sum: lineage n_docs means "doc ids
+            # COVERED/ALLOCATED by this batch" (ids are dense and never
+            # reused; the docs table keeps tombstoned rows), so the
+            # streaming torn-increment gate's identity
+            # docs.count() == sum(lineage n_docs) survives purges.
             w = self.spark.read.parquet(self.store.postings_batch_path(new_id))
             agg = w.agg(
-                F.sum(F.when(F.col("term") == "", F.col("df"))).alias("docs"),
                 F.sum(F.when(F.col("term") != "", F.col("df"))).alias("posts"),
                 F.sum(F.when(F.col("term") != "", 1)).alias("rows"),
                 F.sum(
@@ -530,7 +537,7 @@ class IndexBuilder:
                 ).alias("bytes"),
             ).head()
             counts = {
-                "n_docs": int(agg.docs or 0),
+                "n_docs": int(old.n_docs or 0),
                 "n_postings": int(agg.posts or 0),
                 "n_rows_out": int(agg.rows or 0),
                 "bytes_postings": int(agg.bytes or 0),
@@ -545,6 +552,16 @@ class IndexBuilder:
             "engine_version": "0.1.0",
             "replaces": [int(b) for b in committed],
         }
+        if tomb is not None:
+            # a purge changes collection stats, and the lineage append
+            # below is the visibility switch: a crash between the two
+            # would leave purged postings scoring with stale pre-purge
+            # stats.  Write a marker FIRST so that window is detectable —
+            # engines refuse to open on it, and the next builder repairs
+            # by re-running finalize() (idempotent either side of the
+            # append).
+            with open(self.store.pending_finalize_path, "w") as fh:
+                json.dump({"batch_id": new_id}, fh)
         # append = the commit; a crash before this leaves invisible
         # orphan dirs (vacuum removes them), after it a consistent index
         self.spark.createDataFrame([metric]).coalesce(1).write.mode(
@@ -561,12 +578,28 @@ class IndexBuilder:
             # absent from postings, so the logical exclusion no-ops and
             # the next compact() re-applies cleanly.
             shutil.rmtree(self.store.tombstones_path, ignore_errors=True)
+            os.remove(self.store.pending_finalize_path)
         return {
             "compacted": True,
             "batch_id": new_id,
             "replaced": committed,
             "purged_docs": n_deleted,
         }
+
+    def repair_pending_finalize(self) -> bool:
+        """Recover from a crash inside a purging :meth:`compact`: if the
+        ``_finalize_pending`` marker is on disk, stats/term_stats may not
+        match the visible postings — re-run :meth:`finalize` (idempotent
+        whether the crash hit before or after the lineage append: it
+        recomputes from whatever is committed) and clear the marker.
+        Called automatically at the start of :meth:`compact`; engines
+        refuse to open while the marker exists."""
+        marker = self.store.pending_finalize_path
+        if not os.path.exists(marker):
+            return False
+        self.finalize()
+        os.remove(marker)
+        return True
 
     def vacuum(self) -> dict:
         """Delete batch dirs no committed lineage row references —

@@ -287,12 +287,38 @@ class _MutableAnn:
             return df
         return df.join(F.broadcast(tomb), self.id_col, "left_anti")
 
+    def _recover_swap(self) -> None:
+        """Finish a compaction swap a crash interrupted.  SINGLE WRITER,
+        no concurrent readers during compaction — same contract as the
+        inverted index's builder mutations; a probe running while the
+        table dirs are renamed can hit a missing path."""
+        import shutil
+
+        table_dir = os.path.join(self.path, "table")
+        staging = os.path.join(self.path, "table_compacting")
+        old = os.path.join(self.path, "table_retired")
+        if not os.path.isdir(table_dir) and os.path.isdir(staging):
+            # crashed between the two renames: the staged (compacted)
+            # copy is complete — promote it
+            os.rename(staging, table_dir)
+        if os.path.isdir(table_dir):
+            # with a live table, leftover dirs are retryable garbage:
+            # the retired pre-compaction copy (kept until the new table
+            # is verified in place) and any crashed pre-swap staging
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
+
     def compact(self) -> dict:
         """Physically drop tombstoned vectors: rewrite the table minus
         the victims into a staging dir (same partition column, so probes
-        keep their pruning), swap it in, retire the tombstones."""
+        keep their pruning), swap it in, retire the tombstones.  The
+        retired copy is deleted LAST, only after the new table is in
+        place, so a crash at any point leaves a recoverable layout
+        (:meth:`_recover_swap` runs on open and on the next compact).
+        Single writer, no concurrent readers during the swap."""
         import shutil
 
+        self._recover_swap()
         tomb = self.read_tombstones()
         if tomb is None:
             return {"purged": 0}
@@ -310,8 +336,11 @@ class _MutableAnn:
         shutil.rmtree(old, ignore_errors=True)
         os.rename(table_dir, old)
         os.rename(staging, table_dir)
-        shutil.rmtree(old)
+        # tombstones first: if we crash here they re-apply as a no-op
+        # anti-join against the already-purged table
         shutil.rmtree(self._tomb_dir())
+        # the retired copy goes only once the new table is in place
+        shutil.rmtree(old)
         return {"purged": n}
 
 
@@ -379,7 +408,9 @@ class LshIndex(_MutableAnn):
             meta = json.load(f)
         if meta.get("kind") != "lsh":  # pragma: no cover
             raise ValueError(f"{path} is not an LSH index")
-        return cls(spark, path, meta)
+        idx = cls(spark, path, meta)
+        idx._recover_swap()
+        return idx
 
     def table(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "table"))
@@ -471,7 +502,9 @@ class IvfIndex(_MutableAnn):
             meta = json.load(f)
         if meta.get("kind") != "ivf":  # pragma: no cover
             raise ValueError(f"{path} is not an IVF index")
-        return cls(spark, path, meta)
+        idx = cls(spark, path, meta)
+        idx._recover_swap()
+        return idx
 
     def table(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "table"))

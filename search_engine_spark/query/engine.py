@@ -20,6 +20,8 @@ metadata only for WAND-eligible ones.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +75,15 @@ class SearchEngine:
         self.spark = spark
         self.config = config or EngineConfig()
         self.store = IndexStore(spark, index_dir, self.config)
+        # a crashed purging compact() can leave purged postings visible
+        # with stale pre-purge collection stats — BM25 would be silently
+        # wrong.  Fail loudly instead of mis-scoring.
+        if os.path.exists(self.store.pending_finalize_path):
+            raise RuntimeError(
+                "index has a pending finalize (a purging compact() "
+                "crashed between its lineage commit and stats recompute); "
+                "run IndexBuilder.repair_pending_finalize() before querying"
+            )
         # layout params (bucket count, chunk size, tokenizer, ...) come from
         # the index itself — a mismatch would empty every pruned lookup
         self.config = self.store.load_meta_into_config()

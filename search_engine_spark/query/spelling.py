@@ -32,17 +32,36 @@ from search_engine_spark.sources.index_store import IndexStore, term_bucket
 
 
 def _trigram_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Explode the vocabulary to (trigram, token, n_trigrams, df) rows —
+    flatten + np.repeat column assembly (the ``extract_partials_batch``
+    idiom), one numpy pass per Arrow batch instead of a per-trigram
+    Python append loop."""
+    import numpy as np
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        rows = []
-        for term, df in zip(pdf["term"], pdf["df"]):
-            tris = get_trigrams_from_token(term)
-            n = len(tris)
-            for t in tris:
-                rows.append((t, term, n, int(df)))
+        tris_lists = [get_trigrams_from_token(t) for t in pdf["term"]]
+        lens = np.fromiter(
+            (len(x) for x in tris_lists),
+            dtype=np.int64,
+            count=len(tris_lists),
+        )
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        i = 0
+        for x in tris_lists:
+            flat[i : i + len(x)] = list(x)
+            i += len(x)
         yield pd.DataFrame(
-            rows, columns=["trigram", "token", "n_trigrams", "df"]
+            {
+                "trigram": flat,
+                "token": np.repeat(pdf["term"].to_numpy(), lens),
+                "n_trigrams": np.repeat(lens, lens).astype("int32"),
+                "df": np.repeat(
+                    pdf["df"].to_numpy().astype("int64"), lens
+                ),
+            }
         )
 
 

@@ -35,13 +35,22 @@ def load_corpus(spark: SparkSession, source: str) -> DataFrame:
     ``spark.sql.catalog.<name>`` settings on spark-submit; temp views in
     tests) and the scan goes through ``spark.read.table`` with the
     catalog's partition pruning / column stats.  Anything that looks
-    like a filesystem location (contains ``/`` or a URI scheme) stays a
-    parquet path read."""
-    if "/" not in source and "://" not in source:
-        return spark.read.table(source).select(
+    like a filesystem location (contains ``/``, a URI scheme, or exists
+    on the local filesystem — so a bare relative filename like
+    ``corpus.parquet`` is not misrouted to the catalog) stays a parquet
+    path read.  ``table:`` forces catalog resolution for identifiers
+    that shadow a local path."""
+    import os
+
+    if source.startswith("table:"):
+        return spark.read.table(source[len("table:"):]).select(
             "repo", "path", "commit", "lang", "content"
         )
-    return spark.read.parquet(source)
+    if "/" in source or "://" in source or os.path.exists(source):
+        return spark.read.parquet(source)
+    return spark.read.table(source).select(
+        "repo", "path", "commit", "lang", "content"
+    )
 
 
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"

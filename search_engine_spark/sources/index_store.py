@@ -157,6 +157,14 @@ class IndexStore:
     def tombstones_path(self) -> str:
         return str(self.dir / "tombstones")
 
+    @property
+    def pending_finalize_path(self) -> str:
+        """Marker written by a purging ``compact()`` before its lineage
+        commit and removed after ``finalize()`` — present on disk only
+        when a crash left purged postings visible with stale pre-purge
+        collection stats (BM25 would be silently wrong)."""
+        return str(self.dir / "_finalize_pending")
+
     def read_tombstones(self) -> DataFrame | None:
         """Deleted doc ids (deduplicated), or None when no deletions are
         pending.  Tombstones are LOGICAL deletes: query kernels exclude

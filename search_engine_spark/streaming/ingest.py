@@ -176,19 +176,80 @@ class StreamingIndexer:
     def _tail_dir(self, version: int) -> str:
         return os.path.join(self.staging_dir, "tail", f"v{version}")
 
+    @staticmethod
+    def _parquet_rows(paths) -> int:
+        """Exact row count from parquet FOOTERS (driver-side metadata
+        read, no Spark job) — the count gates in :meth:`advance` run
+        once per increment on unfiltered parquet dirs/files, where the
+        footer sum is the same number a ``.count()`` job would return.
+        O(#files) footer opens; at production increment sizes that is
+        milliseconds vs a full scheduler round-trip per gate."""
+        import pyarrow.dataset as pads
+
+        if isinstance(paths, str):
+            paths = [paths]
+        locs = [p[7:] if p.startswith("file://") else p for p in paths]
+        locs = [p for p in locs if os.path.exists(p)]
+        if not locs:
+            return 0
+        # pyarrow only accepts directories as a SINGLE path argument —
+        # split dirs from plain files and sum fragment footers
+        dirs = [p for p in locs if os.path.isdir(p)]
+        files = [p for p in locs if not os.path.isdir(p)]
+        total = 0
+        for src in dirs + ([files] if files else []):
+            d = pads.dataset(src, format="parquet")
+            total += sum(f.metadata.num_rows for f in d.get_fragments())
+        return total
+
+    def _staging_marker_path(self) -> str:
+        return os.path.join(self.staging_dir, "compacted_upto.json")
+
+    def _compacted_upto(self, state: dict) -> int:
+        """The staging-compaction high-water mark, from the advance state
+        when present, else from the redundant marker written beside the
+        staging dir — so recovery after a lost/corrupt state file never
+        resolves through sink-log entries whose data files
+        :meth:`compact_staging` already deleted."""
+        if "compacted_upto" in state:
+            return state["compacted_upto"]
+        try:
+            with open(self._staging_marker_path()) as f:
+                return int(json.load(f)["compacted_upto"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
     def staged_corpus(self) -> DataFrame:
         """Exactly-once view of every staged doc still on disk (committed
         sink files not yet retired by :meth:`compact_staging`, plus the
-        persisted tail, de-duplicated)."""
+        persisted tail, de-duplicated).  Survives advance-state loss: the
+        compaction mark falls back to its redundant staging-dir copy and
+        the newest persisted tail snapshot is picked up from disk (any
+        overlap with already-indexed docs collapses in the caller's key
+        anti-join)."""
         state = self._read_state() or {}
-        compacted = state.get("compacted_upto", -1)
+        compacted = self._compacted_upto(state)
         if compacted < 0:
             return self.spark.read.parquet(self.corpus_dir)
         paths, _ = self._delta_paths(compacted)
         parts = []
+        tail_version = state.get("tail_version")
+        if state.get("tail_count") is None and tail_version is None:
+            # state lost: the newest tail snapshot on disk (if any) holds
+            # sub-chunk docs whose sink files may already be retired
+            tail_root = os.path.join(self.staging_dir, "tail")
+            if os.path.isdir(tail_root):
+                versions = sorted(
+                    int(d[1:])
+                    for d in os.listdir(tail_root)
+                    if d.startswith("v") and d[1:].isdigit()
+                )
+                if versions:
+                    tail_version = versions[-1]
+                    state = {**state, "tail_count": 1}
         if state.get("tail_count"):
             parts.append(
-                self.spark.read.parquet(self._tail_dir(state["tail_version"]))
+                self.spark.read.parquet(self._tail_dir(tail_version))
             )
         if paths:
             parts.append(self.spark.read.parquet(*paths))
@@ -214,6 +275,15 @@ class StreamingIndexer:
             )
         hwm = state["sink_hwm"]
         log = self._sink_log()
+        # redundant copy of the new mark FIRST (atomic replace): if the
+        # advance state is later lost, staged_corpus() must never resolve
+        # the sink log down through batches whose files we delete below.
+        # Writing before the deletes is safe — docs <= hwm are indexed or
+        # carried in the persisted tail by the advance() gate above.
+        tmp = self._staging_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"compacted_upto": hwm}, f)
+        os.replace(tmp, self._staging_marker_path())
         deleted = 0
         for b in sorted(b for b in log if b <= hwm):
             if b <= state.get("compacted_upto", -1):
@@ -263,7 +333,7 @@ class StreamingIndexer:
 
         if os.path.isdir(store.docs_path):
             docs = store.read_docs()
-            n_existing = docs.count()
+            n_existing = self._parquet_rows(store.docs_path)
             lineage_docs = self._lineage_doc_count()
             if n_existing != lineage_docs:
                 # torn previous increment: docs rows appended but the
@@ -306,6 +376,9 @@ class StreamingIndexer:
                 "delta_files": len(delta),
                 "tail_rows": int(state.get("tail_count") or 0),
             }
+            # fast path inputs are raw parquet (tail snapshot + delta
+            # files): their footer sums ARE the increment count
+            n_new_meta = scan["tail_rows"] + self._parquet_rows(delta)
         else:
             # recovery (state missing or stale): one full rescan, key
             # anti-join drops already-indexed docs, duplicates between a
@@ -317,8 +390,14 @@ class StreamingIndexer:
                     docs.select(*SORT_KEYS), list(SORT_KEYS), "left_anti"
                 )
             scan = {"mode": "rescan", "delta_files": -1}
+            n_new_meta = None  # the anti-join needs a real count job
 
-        n_new = new.count() if new is not None else 0
+        if new is None:
+            n_new = 0
+        elif n_new_meta is not None:
+            n_new = n_new_meta
+        else:
+            n_new = new.count()
         if n_new > 0 and n_existing % cfg.chunk_docs != 0:
             # a prior advance(final=True) flushed a partial tail chunk;
             # indexing more would re-emit that (term, chunk) in a second
@@ -399,23 +478,25 @@ class StreamingIndexer:
             *corpus_cols
         ).write.mode("overwrite").parquet(self._tail_dir(tail_version))
         snap = self.spark.read.parquet(inc_path)
-        if snap.count() != n_take:
-            raise RuntimeError("increment snapshot row-count mismatch")
-        snap.select(
-            "doc_id", "repo", "path", "commit", "lang", "sha256"
-        ).write.mode("append").parquet(store.docs_path)
-        n_after = store.read_docs().count()
-        if n_after != n_index_to:
-            raise RuntimeError(
-                f"streaming docs append corrupted: expected {n_index_to} "
-                f"rows, found {n_after}"
-            )
-
+        # one aggregate job serves both the key-range _run_batch needs
+        # and the snapshot row-count gate (no separate .count())
         kb = snap.agg(
             F.min(F.struct(*SORT_KEYS)).alias("lo"),
             F.max(F.struct(*SORT_KEYS)).alias("hi"),
             F.count("*").alias("n"),
         ).head()
+        if int(kb.n) != n_take:
+            raise RuntimeError("increment snapshot row-count mismatch")
+        snap.select(
+            "doc_id", "repo", "path", "commit", "lang", "sha256"
+        ).write.mode("append").parquet(store.docs_path)
+        # footer-metadata gate — no Spark job
+        n_after = self._parquet_rows(store.docs_path)
+        if n_after != n_index_to:
+            raise RuntimeError(
+                f"streaming docs append corrupted: expected {n_index_to} "
+                f"rows, found {n_after}"
+            )
         metric = self.builder._run_batch(
             snap.drop("doc_id", "sha256"),
             snap.select("doc_id", *SORT_KEYS),

@@ -284,3 +284,41 @@ def test_load_corpus_accepts_catalog_table_identifier(spark):
     got = load_corpus(spark, "corpus_tbl")
     assert got.columns == ["repo", "path", "commit", "lang", "content"]
     assert got.count() == 10
+
+
+def test_load_corpus_bare_relative_filename_reads_parquet(spark):
+    """A bare relative filename that exists on disk is a PATH, not a
+    catalog identifier — it must route to the parquet reader (previously
+    it was misrouted to spark.read.table and failed)."""
+    import os
+    import shutil
+
+    from search_engine_spark.sources.corpus import load_corpus
+    from search_engine_spark.testing.synth import synth_corpus
+
+    name = "tmp_bare_corpus_test.parquet"
+    # the JVM resolves relative paths against the driver process cwd
+    rows = synth_corpus(n_docs=7, seed=5)
+    spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content"
+    ).write.mode("overwrite").parquet(name)
+    try:
+        got = load_corpus(spark, name)
+        assert got.count() == 7
+    finally:
+        shutil.rmtree(os.path.abspath(name), ignore_errors=True)
+
+
+def test_load_corpus_table_prefix_forces_catalog(spark):
+    """table: prefix resolves through the catalog even if a same-named
+    local path exists."""
+    from search_engine_spark.sources.corpus import load_corpus
+    from search_engine_spark.testing.synth import synth_corpus
+
+    rows = synth_corpus(n_docs=5, seed=6)
+    spark.createDataFrame(rows).select(
+        "repo", "path", "commit", "lang", "content"
+    ).createOrReplaceTempView("corpus_tbl_prefixed")
+    got = load_corpus(spark, "table:corpus_tbl_prefixed")
+    assert got.count() == 5
+    assert got.columns == ["repo", "path", "commit", "lang", "content"]

@@ -165,3 +165,49 @@ def test_compaction_of_streamed_increments(spark, tmp_path):
         f"batch={second['batch_id']}"
     ]
     assert _results(spark, index_dir) == want
+
+
+def test_crash_between_purge_commit_and_finalize_is_detected(
+    spark, tmp_path, monkeypatch
+):
+    """A purging compact() that dies between its lineage commit and the
+    stats recompute would leave purged postings scoring with stale
+    pre-purge collection stats.  The pending-finalize marker makes that
+    window loud: engines refuse to open, and repair_pending_finalize()
+    re-runs finalize and clears it."""
+    import os
+
+    from search_engine_spark.query.engine import SearchEngine
+
+    corpus = spark.createDataFrame(synth_corpus(n_docs=150, seed=19))
+    index_dir = str(tmp_path / "crashidx")
+    builder = IndexBuilder(spark, index_dir, CFG)
+    builder.build_all(corpus)
+    n_del = builder.delete_docs([1, 2, 3, 4, 5])["deleted"]
+    assert n_del == 5
+
+    monkeypatch.setattr(
+        IndexBuilder, "finalize",
+        lambda self: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        builder.compact()
+    monkeypatch.undo()
+
+    marker = builder.store.pending_finalize_path
+    assert os.path.exists(marker)
+    with pytest.raises(RuntimeError, match="pending finalize"):
+        SearchEngine(spark, index_dir, CFG)
+
+    assert builder.repair_pending_finalize() is True
+    assert not os.path.exists(marker)
+    # stats now reflect the survivors (the stale value would be 150)
+    assert builder.store.read_stats()["num_docs"] == 145
+    eng = SearchEngine(spark, index_dir, CFG)
+    got = {r.doc_id for r in eng.search("zqmerge", SearchMode.OR).collect()}
+    assert not got & {1, 2, 3, 4, 5}
+    # a clean purge leaves no marker behind
+    builder2 = IndexBuilder(spark, index_dir, CFG)
+    builder2.delete_docs([10])
+    builder2.compact()
+    assert not os.path.exists(marker)

@@ -774,3 +774,43 @@ def test_fake_decode_batch_bit_identical_to_rowwise():
         row = got.iloc[i]
         assert (row["n_bytes"], row["width"], row["height"]) == (n, w, h)
         assert list(row["feat"]) == feat, (i, list(row["feat"]), feat)
+
+
+def test_ann_compact_crash_between_renames_recovers(
+    spark, emb, tmp_path_factory, monkeypatch
+):
+    """A crash in the middle of compact()'s directory swap (table moved
+    to retired, staged copy not yet promoted) must be recoverable: open()
+    finishes the swap, probes see the purged table, leftovers cleaned."""
+    idx = similarity.LshIndex.build(
+        emb, str(tmp_path_factory.mktemp("lshcrash"))
+    )
+    qvec = [
+        float(v) for v in emb.where(F.col("vec_id") == 2).head()["embedding"]
+    ]
+    before = {r.id for r in idx.topk(qvec, k=10).collect()}
+    victims = sorted(before)[:3]
+    idx.delete(victims)
+
+    real_rename = os.rename
+
+    def crash_after_retire(a, b):
+        real_rename(a, b)
+        if os.path.basename(a) == "table":  # just retired the live table
+            raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(os, "rename", crash_after_retire)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.compact()
+    monkeypatch.undo()
+    assert not os.path.isdir(os.path.join(idx.path, "table"))
+
+    reopened = similarity.LshIndex.open(spark, idx.path)
+    assert os.path.isdir(os.path.join(idx.path, "table"))
+    assert not os.path.isdir(os.path.join(idx.path, "table_retired"))
+    assert not os.path.isdir(os.path.join(idx.path, "table_compacting"))
+    got = [(r.id, r.cos) for r in reopened.topk(qvec, k=10).collect()]
+    assert not ({i for i, _c in got} & set(victims))
+    assert (
+        reopened.table().where(F.col("vec_id").isin(victims)).count() == 0
+    )

@@ -352,3 +352,80 @@ def test_compact_staging_retires_consumed_files(spark, tmp_path):
     assert _ranked(eng, "zqmerge", SearchMode.AND) == [
         (d, pytest.approx(s, rel=1e-9)) for s, d in ref
     ]
+
+
+def test_ingest_continues_after_delete_and_compact(spark, tmp_path):
+    """The documented lifecycle ingest -> delete -> compact -> KEEP
+    STREAMING: the torn-increment gate must not fire after a physical
+    purge (lineage n_docs means ids ALLOCATED, which survives purges;
+    the docs table keeps tombstoned rows, so docs.count() == the
+    committed lineage sum throughout)."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=192, seed=41)
+    wave1 = [dict(r, repo="a-" + r["repo"]) for r in rows[:128]]
+    wave2 = [dict(r, repo="b-" + r["repo"]) for r in rows[128:]]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    _stage_wave(spark, indexer, src, wave1, schema)
+    assert indexer.advance()["indexed"] == 128
+
+    builder = indexer.builder
+    victims = [3, 10, 77]
+    assert builder.delete_docs(victims)["deleted"] == 3
+    out = builder.compact()
+    assert out["compacted"] and out["purged_docs"] == 3
+    builder.vacuum()
+    # allocated-ids identity holds after the purge
+    assert builder.store.read_docs().count() == 128
+    assert indexer._lineage_doc_count() == 128
+
+    # the next increment folds in without a torn-increment error
+    _stage_wave(spark, indexer, src, wave2, schema)
+    r = indexer.advance(final=True)
+    assert r["indexed"] == 64
+    eng = SearchEngine(spark, str(tmp_path / "idx"), CFG)
+    survivors = {
+        r.doc_id
+        for r in eng.search("zqmerge", SearchMode.NOT, num_return=10_000)
+        .collect()
+    }
+    assert not survivors & set(victims)
+    assert max(survivors) >= 128  # wave-2 docs are searchable
+
+
+def test_staged_corpus_survives_state_loss_after_compact_staging(
+    spark, tmp_path
+):
+    """compact_staging deletes sink data files; if the advance state is
+    later lost, staged_corpus must NOT fall back to the sink-log view
+    (whose entries reference the deleted files) — the redundant
+    compacted_upto marker + on-disk tail carry the recovery."""
+    import os
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=100, seed=43)
+    wave = [dict(r, repo="a-" + r["repo"]) for r in rows]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    _stage_wave(spark, indexer, src, wave, schema)
+    r = indexer.advance()
+    assert r["indexed"] == 64 and r["staged_tail"] == 36
+    assert indexer.compact_staging()["retired_files"] > 0
+
+    os.remove(indexer._state_path)  # the documented failure scenario
+    recovered = indexer.staged_corpus()
+    assert recovered.count() == 36  # the persisted tail, not a crash
+    # and the stream keeps going: the rescan path re-indexes the tail
+    rf = indexer.advance(final=True)
+    assert rf["num_docs"] == 100

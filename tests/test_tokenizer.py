@@ -162,3 +162,79 @@ def test_code_index_matches_identifier_variants(spark, tmp_path):
     eng = SearchEngine(spark, idx, cfg)
     hits = eng.search("get value", SearchMode.AND, num_return=10).collect()
     assert {r.doc_id for r in hits} == {0, 1, 2}
+
+
+# ----- code tokenizer: hostile-identifier property tests (r4) -----
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from search_engine_spark.functions.tokenizer import CODE_TOKREGEX, code_tokenize
+
+_HOSTILE_GOLDENS = [
+    ("__dunder__", ["dunder"]),
+    ("__init__subclass__", ["init", "subclass"]),
+    ("HTTPServerV2", ["http", "server", "v2"]),
+    ("X509Certificate", ["x509", "certificate"]),
+    ("parseHTML5Doc", ["parse", "html5", "doc"]),
+    ("getXMLHTTPRequest2", ["get", "xmlhttp", "request2"]),
+    ("ABCdefGHI", ["ab", "cdef", "ghi"]),
+    # only lower/digit->UPPER boundaries split; "2c3" has none
+    ("a1B2c3", ["a1", "b2c3"]),
+    ("snake_case_mixedCamelABC", ["snake", "case", "mixed", "camel", "abc"]),
+    ("UPPERCASE", ["uppercase"]),
+    ("x", ["x"]),
+    ("123", ["123"]),
+    ("", []),
+    ("___", []),
+    ("A", ["a"]),
+    ("aB", ["a", "b"]),
+    ("ABc", ["a", "bc"]),
+]
+
+
+def test_code_tokenizer_hostile_goldens():
+    for ident, want in _HOSTILE_GOLDENS:
+        assert code_tokenize(ident) == want, ident
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_code_tokenizer_preserves_alnum_stream(s):
+    """Splitting only inserts boundaries: the concatenated subtokens are
+    exactly the [a-z0-9] characters of the lowercased input, in order."""
+    toks = code_tokenize(s)
+    assert "".join(toks) == "".join(CODE_TOKREGEX.findall(s.lower()))
+    assert all(CODE_TOKREGEX.fullmatch(t) for t in toks)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_code_tokenizer_fixpoint(s):
+    """Subtokens are already fully split: re-tokenizing their space-join
+    is the identity (queries and documents normalize identically)."""
+    toks = code_tokenize(s)
+    assert code_tokenize(" ".join(toks)) == toks
+
+
+_ASCII_IDENT = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ASCII_IDENT)
+def test_code_tokenizer_matches_duckdb_sql_twin(s):
+    """The contract oracle tokenizes with a SQL twin of code_tokenize;
+    the two must agree on arbitrary hostile ASCII identifiers (the
+    contract corpus only exercises lowercase prose doc-side)."""
+    import duckdb
+
+    sql = (
+        "SELECT regexp_extract_all(lower(regexp_replace(regexp_replace("
+        "?, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+        "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[a-z0-9]+')"
+    )
+    got = duckdb.execute(sql, [s]).fetchone()[0]
+    assert got == code_tokenize(s), s
