@@ -301,6 +301,85 @@ def _extra_ops(spark, engine, sf_dir: str, SearchMode) -> dict:
         out["rerank_training"] = _training_metrics(spark, sf_dir)
     except Exception as e:  # pragma: no cover
         out["rerank_training_error"] = repr(e)
+    try:
+        out["serve"] = _serve_bench(spark, str(engine.store.dir), engine.config)
+    except Exception as e:  # pragma: no cover
+        out["serve_error"] = repr(e)
+    return out
+
+
+def _serve_bench(spark, index_dir: str, cfg) -> dict:
+    """Serving layer: warm-engine HTTP request p50 and concurrent
+    throughput (4 / 16 parallel clients) vs the cold open+first-query
+    cost a per-request CLI process would pay every time.  Requests go
+    over real HTTP through ThreadingHTTPServer so thread-safe Spark job
+    submission is part of what's measured."""
+    import threading
+    import urllib.request
+    from urllib.parse import quote
+
+    from search_engine_spark.serve import SearchService, make_server
+
+    out: dict = {}
+    # SearchService opens its own engine: time the cold open + first
+    # request (the per-invocation cost the warm server amortizes away;
+    # a CLI process additionally pays SparkSession startup)
+    t = time.time()
+    svc = SearchService(spark, index_dir, cfg)
+    svc.search({"q": "dup small", "mode": "OR"})
+    out["cold_open_plus_first_query_sec"] = round(time.time() - t, 4)
+
+    srv = make_server(svc)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    qs = ["dup small", "scan merge sort", "line group join order", "dup"]
+
+    def one(q: str) -> None:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q={quote(q)}&mode=OR&k=10",
+            timeout=120,
+        ) as r:
+            json.load(r)
+
+    try:
+        lats = []
+        for i in range(12):
+            t = time.time()
+            one(qs[i % len(qs)])
+            lats.append(time.time() - t)
+        out["warm_request_p50_sec"] = round(statistics.median(lats), 4)
+        out["warm_request_max_sec"] = round(max(lats), 4)
+        for clients in (4, 16):
+            per_client = 3
+            errs: list = []
+
+            def worker(ci: int) -> None:
+                try:
+                    for j in range(per_client):
+                        one(qs[(ci + j) % len(qs)])
+                except Exception as e:  # pragma: no cover
+                    errs.append(repr(e))
+
+            t = time.time()
+            threads = [
+                threading.Thread(target=worker, args=(c,))
+                for c in range(clients)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.time() - t
+            if errs:
+                out[f"concurrent_{clients}_error"] = errs[0]
+            else:
+                out[f"concurrent_{clients}_rps"] = round(
+                    clients * per_client / wall, 2
+                )
+                out[f"concurrent_{clients}_wall_sec"] = round(wall, 3)
+    finally:
+        srv.shutdown()
+        srv.server_close()
     return out
 
 
