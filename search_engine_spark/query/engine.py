@@ -220,15 +220,13 @@ class SearchEngine:
         doclens side of the cogroup — chunks with no surviving doc never
         reach the kernel, and the kernel intersects matches before its
         chunk-local top-k.  BM25 scores are unchanged (global collection
-        stats), matching a post-hoc metadata restriction.  WAND skipping
-        is disabled under a filter (its threshold would be over
-        unfiltered docs)."""
+        stats), matching a post-hoc metadata restriction.  WAND stays on
+        under filters and deletions: the kernel drops non-surviving
+        candidates per segment before scoring, and the unfiltered block
+        maxima remain valid upper bounds (see wand.py)."""
         live = [p for p in plans if p.tree[0] != EMPTY]
         if not live:
             return self._empty_ranked()
-        if doc_filter is not None:
-            # block skipping is unsafe under a filter (see docstring)
-            use_wand = False
 
         fetch_terms = sorted({t for p in live for t in p.fetch_terms})
         need_pos = any(p.needs_positions for p in live)

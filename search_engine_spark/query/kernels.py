@@ -340,17 +340,14 @@ def run_plans_on_chunk(
             t in terms for t in plan.fetch_terms
         ):
             continue
-        if (
-            use_wand and plan.wand_eligible and has_blk
-            and allowed is None and deleted is None
-        ):
-            # WAND's threshold tracks the running top-k; under a filter or
-            # pending deletions the top-k is over surviving docs only, so
-            # skipping on unfiltered block maxima could evict survivors —
-            # use the exhaustive path instead.  The check is PER CHUNK:
-            # deletions are typically sparse, so most chunks keep WAND.
+        if use_wand and plan.wand_eligible and has_blk:
+            # under a metadata filter or pending deletions wand_topk
+            # drops non-surviving candidates per segment before scoring;
+            # unfiltered block maxima stay valid (looser) upper bounds,
+            # so pruning remains rank-identical (see wand.py docstring)
             docs, scores = wand_topk(
-                plan, terms, chunk, stats, k1, b, title_weight
+                plan, terms, chunk, stats, k1, b, title_weight,
+                deleted=deleted, allowed=allowed,
             )
         else:
             matched = eval_tree(plan.tree, terms, chunk)

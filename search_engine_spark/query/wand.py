@@ -37,7 +37,12 @@ from __future__ import annotations
 import numpy as np
 
 from search_engine_spark.functions.bm25 import fielded_bm25
-from search_engine_spark.query.kernels import ChunkDocs, TermChunk, tf_matrices
+from search_engine_spark.query.kernels import (
+    ChunkDocs,
+    TermChunk,
+    _membership,
+    tf_matrices,
+)
 from search_engine_spark.query.plan import OR, TERM, CompiledQuery
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
@@ -80,7 +85,16 @@ def wand_topk(
     k1: float,
     b: float,
     title_weight: float,
+    deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
+    """``deleted`` (tombstoned ids) / ``allowed`` (metadata-filter ids):
+    candidates are dropped per segment BEFORE scoring, so the pool and
+    its threshold θ track surviving docs only.  Block maxima computed
+    over the unfiltered postings remain VALID upper bounds (removing
+    docs can only lower a block's true max), just looser — a segment is
+    skipped only when even its unfiltered bound is below θ, so pruning
+    under deletions stays rank-identical, merely less aggressive."""
     tree_terms = [t for t in _tree_terms(plan) if t in terms]
     if not tree_terms:
         return _EMPTY_I64, _EMPTY_F64
@@ -130,6 +144,12 @@ def wand_topk(
         if not parts:
             continue
         matched = np.unique(np.concatenate(parts))
+        if allowed is not None and matched.size:
+            matched = np.intersect1d(matched, allowed, assume_unique=True)
+        if deleted is not None and matched.size:
+            matched = matched[_membership(deleted, matched) < 0]
+        if not matched.size:
+            continue
         tfb, tft = tf_matrices(cols, matched, terms)
         pos = np.searchsorted(chunk.doc_ids, matched)
         dl = chunk.doc_lens[pos].astype(np.float64)

@@ -436,3 +436,27 @@ def test_facet_counts_compose_with_doc_filter(setup, spark):
         ).collect()
     }
     assert got == dict(want)
+
+
+def test_wand_matches_exhaustive_under_doc_filter(setup, spark):
+    """WAND stays enabled under a metadata filter (r4): per-segment
+    candidate dropping keeps the pool over survivors while unfiltered
+    block maxima remain valid upper bounds — rank-identical to the
+    exhaustive path."""
+    from pyspark.sql import functions as F
+
+    engine, _oracle = setup
+    pred = F.col("lang") == "python"
+    for query in ["zqmerge zqshard", "def zqmerge zqshard codec_2"]:
+        a = engine.search(
+            query, SearchMode.OR, num_return=10,
+            doc_filter=pred, use_wand=True,
+        ).collect()
+        b = engine.search(
+            query, SearchMode.OR, num_return=10,
+            doc_filter=pred, use_wand=False,
+        ).collect()
+        key = lambda rows: [
+            (r.doc_id, r.score) for r in sorted(rows, key=lambda r: r.rank)
+        ]
+        assert key(a) == key(b), query
