@@ -431,8 +431,8 @@ class IndexBuilder:
         if len(committed) <= 1 and tomb is None:
             return {"compacted": False, "batches": committed}
         all_ids = [
-            r.batch_id
-            for r in self.store.read_lineage().select("batch_id").collect()
+            r["batch_id"]
+            for r in self.store.lineage_rows_meta(["batch_id"])
         ]
         new_id = max(all_ids) + 1
 

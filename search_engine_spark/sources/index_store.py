@@ -188,24 +188,47 @@ class IndexStore:
             self.lineage_path
         )
 
+    def lineage_rows_meta(self, columns: list[str]) -> list[dict]:
+        """Lineage rows read DRIVER-SIDE with pyarrow (per-fragment, so
+        the mixed schema — compaction rows carry ``replaces``, plain
+        batch rows don't — needs no mergeSchema pass).  The lineage
+        table is O(#batches) tiny rows but is consulted by every engine
+        open and every streaming advance; bookkeeping this small must
+        not pay a Spark job per read.  Local-filesystem layout (the
+        sandbox + spark-submit driver); a remote object store would pass
+        a pyarrow filesystem here."""
+        import pyarrow.dataset as pads
+
+        out: list[dict] = []
+        if not os.path.isdir(self.lineage_path):
+            return out
+        d = pads.dataset(self.lineage_path, format="parquet")
+        for frag in d.get_fragments():
+            names = set(frag.physical_schema.names)
+            cols = [c for c in columns if c in names]
+            t = frag.to_table(columns=cols)
+            for i in range(t.num_rows):
+                row = {c: t[c][i].as_py() for c in cols}
+                for c in columns:
+                    row.setdefault(c, None)
+                out.append(row)
+        return out
+
     def committed_batches(self) -> list[int]:
         """Visible batches = all lineage rows minus any batch some row's
         ``replaces`` list names (the compaction commit protocol: one
         appended row atomically supersedes the batches it rewrote —
         Iceberg's snapshot semantics on the same append-only commit point
-        ``IndexBuilder._run_batch`` uses)."""
-        if not os.path.isdir(self.lineage_path):
-            return []
-        df = self.read_lineage()
-        has_replaces = "replaces" in df.columns
-        cols = ["batch_id"] + (["replaces"] if has_replaces else [])
-        rows = df.select(*cols).collect()
+        ``IndexBuilder._run_batch`` uses).  Driver-side metadata read —
+        no Spark job."""
+        rows = self.lineage_rows_meta(["batch_id", "replaces"])
         replaced: set[int] = set()
-        if has_replaces:
-            for r in rows:
-                if r.replaces:
-                    replaced.update(r.replaces)
-        return sorted(r.batch_id for r in rows if r.batch_id not in replaced)
+        for r in rows:
+            if r["replaces"]:
+                replaced.update(r["replaces"])
+        return sorted(
+            r["batch_id"] for r in rows if r["batch_id"] not in replaced
+        )
 
     def read_lineage_committed(self) -> DataFrame:
         """Lineage rows of visible batches only — metric sums (n_docs,

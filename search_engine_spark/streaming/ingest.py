@@ -532,12 +532,17 @@ class StreamingIndexer:
         }
 
     def _lineage_doc_count(self) -> int:
+        """Ids covered by committed lineage (driver-side metadata read,
+        no Spark job).  Lineage ``n_docs`` means ids ALLOCATED, so the
+        sum equals ``docs.count()`` across deletes and purges."""
         store = self.builder.store
-        if not os.path.isdir(store.lineage_path):
-            return 0
-        row = (
-            store.read_lineage_committed()
-            .agg(F.sum("n_docs"))
-            .head()
+        rows = store.lineage_rows_meta(["batch_id", "replaces", "n_docs"])
+        replaced: set[int] = set()
+        for r in rows:
+            if r["replaces"]:
+                replaced.update(r["replaces"])
+        return sum(
+            int(r["n_docs"] or 0)
+            for r in rows
+            if r["batch_id"] not in replaced
         )
-        return int(row[0] or 0)
