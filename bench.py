@@ -75,10 +75,13 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
     from search_engine_spark.plans.parser import SearchMode
     from search_engine_spark.query.engine import SearchEngine
 
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(max(cores, 8)))
+    )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"se_bench_{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
@@ -105,7 +108,11 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         tokenizer="simplemma",
         idf_threshold=-1.0e18,  # no pruning: queries do real scoring work
         chunk_docs=1 << 14,
-        chunks_per_batch=64,  # one lineage batch up to ~1M docs
+        # one lineage batch up to ~1M docs by default; raise for multi-M
+        # runs where serial batch boundaries leave slots idle
+        chunks_per_batch=int(
+            os.environ.get("SPARK_GRAFT_CHUNKS_PER_BATCH", "64")
+        ),
         n_term_buckets=16,
     )
     corpus = build_corpus(spark, sf_dir, replicas).cache()

@@ -502,6 +502,80 @@ def cmd_serve(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_repl(args: argparse.Namespace) -> None:
+    """Interactive query loop over ONE warm engine — twin of the
+    reference's terminal REPL (``/root/reference/main.py:89-112``: load
+    index once, loop ``input()`` -> search -> print scored results +
+    snippets + timing).  Reads queries from stdin (one per line; EOF,
+    Ctrl-C or ``:q`` exits), so it is scriptable: ``echo 'dup small' |
+    ... repl --index ...``.  ``:mode X`` / ``:k N`` switch the search
+    mode / result count mid-session."""
+    import sys as _sys
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.parser import SearchMode
+    from search_engine_spark.query.engine import SearchEngine
+
+    spark = _spark("se-repl")
+    t0 = time.time()
+    engine = SearchEngine(
+        spark,
+        args.index,
+        EngineConfig(tokenizer=args.tokenizer, enable_spelling=args.spelling),
+    )
+    corpus = None
+    if args.corpus:
+        from search_engine_spark.sources.corpus import load_corpus
+
+        corpus = load_corpus(spark, args.corpus)
+    mode = SearchMode[args.mode]
+    k = args.k
+    print(f"Index loaded. Took {time.time() - t0:.4f}s", file=_sys.stderr)
+    interactive = _sys.stdin.isatty()
+    while True:
+        try:
+            if interactive:
+                print("query> ", end="", flush=True, file=_sys.stderr)
+            line = _sys.stdin.readline()
+        except KeyboardInterrupt:
+            break
+        if not line:
+            break
+        query = line.strip()
+        if not query:
+            continue
+        if query in (":q", ":quit", ":exit"):
+            break
+        if query.startswith(":mode "):
+            try:
+                mode = SearchMode[query.split(None, 1)[1].strip().upper()]
+                print(f"mode = {mode.name}", file=_sys.stderr)
+            except KeyError as e:
+                print(f"unknown mode {e}", file=_sys.stderr)
+            continue
+        if query.startswith(":k "):
+            k = int(query.split(None, 1)[1])
+            print(f"k = {k}", file=_sys.stderr)
+            continue
+        t = time.time()
+        try:
+            ranked = engine.search(query, mode, num_return=k)
+            rows = engine.with_doc_info(ranked, corpus).collect()
+        except Exception as e:  # parse errors etc. must not kill the loop
+            print(f"error: {e}", file=_sys.stderr)
+            continue
+        wall = time.time() - t
+        for r in sorted(rows, key=lambda r: r.rank):
+            line = (
+                f"{r.rank:3d}  {r.score:12.6f}  {r.doc_id:10d}  "
+                f"{r.repo}/{r.path}"
+            )
+            if corpus is not None and r.snippet is not None:
+                line += f"  | {r.snippet}"
+            print(line)
+        print(f"-- {len(rows)} results in {wall:.4f}s", file=_sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="search_engine_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -677,6 +751,19 @@ def main(argv: list[str] | None = None) -> None:
     sv.add_argument("--model", default=None,
                     help="re-ranker weights (.npz) for rerank=1 requests")
     sv.set_defaults(fn=cmd_serve)
+
+    rp = sub.add_parser(
+        "repl", help="interactive query loop over one warm engine"
+    )
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--mode", default="QUERY_EVALUATOR",
+                    choices=["AND", "OR", "NOT", "PHRASE", "QUERY_EVALUATOR"])
+    rp.add_argument("--k", type=int, default=10)
+    rp.add_argument("--tokenizer", default="simplemma")
+    rp.add_argument("--spelling", action="store_true")
+    rp.add_argument("--corpus", default=None,
+                    help="corpus path/table for result snippets")
+    rp.set_defaults(fn=cmd_repl)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -255,3 +255,37 @@ def test_cli_curate(ws, capsys):
     assert dec2.where(
         (F.col("id") == 5) & (F.col("reason") == "benchmark")
     ).count() == 1
+
+
+def test_cli_repl(ws, capsys, monkeypatch):
+    """The interactive query loop (reference main.py REPL twin): one warm
+    engine, stdin-scripted queries, mid-session :mode/:k switches, parse
+    errors don't kill the loop, :q exits."""
+    import io
+
+    spark, base, corpus_path = ws
+    idx = str(base / "idx")  # built by test_cli_build_and_search
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            "zqmerge\n"
+            "\n"
+            ":k 3\n"
+            ":mode or\n"
+            "zqmerge zqshard\n"
+            "((bad\n"
+            ":q\n"
+        ),
+    )
+    out = _run(capsys, [
+        "repl", "--index", idx, "--mode", "AND", "--corpus", corpus_path,
+    ])
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines, out
+    # ranked rows: "rank  score  doc_id  repo/path | snippet"
+    assert any("|" in l for l in lines)  # snippets joined from the corpus
+    ranks = [int(l.split()[0]) for l in lines]
+    assert ranks[0] == 1 and max(ranks) <= 10
+    # after :k 3 the OR query returns at most 3 rows (trailing block)
+    tail = [l for l in lines if l.split()[0].isdigit()]
+    assert sum(1 for l in tail if l.split()[0] == "1") == 2  # two queries ran
