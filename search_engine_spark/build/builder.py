@@ -294,6 +294,11 @@ class IndexBuilder:
             "avg_title_len": (raw.sum_title_len or 0) / raw.num_docs if raw.num_docs else 0.0,
             "max_doc_len": int(raw.max_doc_len or 0),
             "max_title_len": int(raw.max_title_len or 0),
+            # exact int sums persisted so finalize_incremental can fold
+            # an increment in without re-reading every batch's doclens
+            # (the averages above must stay bit-equal: int-sum / count)
+            "sum_doc_len": int(raw.sum_doc_len or 0),
+            "sum_title_len": int(raw.sum_title_len or 0),
         }
         # total postings from the lineage metrics (committed batches only
         # — replaced pre-compaction rows would double-count) — avoids a
@@ -318,6 +323,117 @@ class IndexBuilder:
             .partitionBy("bucket")
             .parquet(self.store.term_stats_path)
         )
+        return stats
+
+    def finalize_incremental(self, batch_id: int) -> dict:
+        """Fold ONE new batch into stats + term_stats in O(increment +
+        vocabulary) instead of :meth:`finalize`'s O(index) re-aggregation
+        — the per-increment cost that matters for streaming ingest at
+        10^12-file scale, where re-scanning every batch's doclens and the
+        full postings table per advance() would dwarf the increment.
+
+        * collection stats: the persisted exact int sums (``sum_doc_len``
+          etc.) are advanced by the increment's aggregates; averages stay
+          bit-equal to a full recompute (one int-sum / count division).
+        * term_stats: the increment batch's (bucket, term) contributions
+          are merged with the existing table by a union + groupBy-sum
+          (vocabulary-sized shuffle, not postings-sized) written to a
+          staging dir and swapped in.
+
+        Crash safety: the ``_finalize_pending`` marker brackets the whole
+        update — a crash mid-swap fails engine opens loudly and
+        :meth:`repair_pending_finalize` rebuilds via the full
+        :meth:`finalize`.  Falls back to the full path when the stats
+        file predates the persisted sums."""
+        import shutil
+
+        if not os.path.isdir(self.store.stats_path):
+            return self.finalize()
+        old = self.store.read_stats()
+        if old.get("sum_doc_len") is None:
+            return self.finalize()  # pre-r4 stats file: one full pass
+
+        with open(self.store.pending_finalize_path, "w") as fh:
+            json.dump({"batch_id": batch_id, "incremental": True}, fh)
+
+        raw = (
+            self.store.read_doc_lens([batch_id])
+            .agg(
+                F.count("*").alias("num_docs"),
+                F.sum("doc_len").alias("sum_doc_len"),
+                F.sum("title_len").alias("sum_title_len"),
+                F.max("doc_len").alias("max_doc_len"),
+                F.max("title_len").alias("max_title_len"),
+            )
+            .head()
+        )
+        num_docs = int(old["num_docs"]) + int(raw.num_docs)
+        sum_dl = int(old["sum_doc_len"]) + int(raw.sum_doc_len or 0)
+        sum_tl = int(old["sum_title_len"]) + int(raw.sum_title_len or 0)
+        lineage = self.store.lineage_rows_meta(
+            ["batch_id", "replaces", "n_postings"]
+        )
+        replaced: set[int] = set()
+        for r in lineage:
+            if r["replaces"]:
+                replaced.update(r["replaces"])
+        total_postings = sum(
+            int(r["n_postings"] or 0)
+            for r in lineage
+            if r["batch_id"] not in replaced
+        )
+        stats = {
+            "num_docs": num_docs,
+            "avg_doc_len": sum_dl / num_docs if num_docs else 0.0,
+            "avg_title_len": sum_tl / num_docs if num_docs else 0.0,
+            "max_doc_len": max(
+                int(old["max_doc_len"]), int(raw.max_doc_len or 0)
+            ),
+            "max_title_len": max(
+                int(old["max_title_len"]), int(raw.max_title_len or 0)
+            ),
+            "sum_doc_len": sum_dl,
+            "sum_title_len": sum_tl,
+            "total_postings": int(total_postings),
+        }
+        self.spark.createDataFrame([stats]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.store.stats_path)
+
+        inc = (
+            self.spark.read.parquet(self.store.postings_batch_path(batch_id))
+            .where(F.col("term") != "")
+            .groupBy("bucket", "term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.count("*").alias("n_chunks"),
+            )
+        )
+        merged = (
+            self.store.read_term_stats()
+            .unionByName(inc)
+            .groupBy("bucket", "term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("n_chunks").alias("n_chunks"),
+            )
+        )
+        staging = self.store.term_stats_path + ".staging"
+        retired = self.store.term_stats_path + ".retired"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            merged.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(self.store.term_stats_path, retired)
+        os.rename(staging, self.store.term_stats_path)
+        shutil.rmtree(retired)
+        os.remove(self.store.pending_finalize_path)
         return stats
 
     # ----- deletion: tombstones now, physical purge at compaction -----
@@ -594,9 +710,18 @@ class IndexBuilder:
         recomputes from whatever is committed) and clear the marker.
         Called automatically at the start of :meth:`compact`; engines
         refuse to open while the marker exists."""
+        import shutil
+
         marker = self.store.pending_finalize_path
         if not os.path.exists(marker):
             return False
+        # a crashed finalize_incremental may have left term_stats staging/
+        # retired dirs mid-swap; the full rebuild below replaces the live
+        # table either way, so retire the leftovers first
+        shutil.rmtree(self.store.term_stats_path + ".staging",
+                      ignore_errors=True)
+        shutil.rmtree(self.store.term_stats_path + ".retired",
+                      ignore_errors=True)
         self.finalize()
         os.remove(marker)
         return True

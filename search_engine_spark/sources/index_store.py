@@ -258,8 +258,10 @@ class IndexStore:
     def read_docs(self) -> DataFrame:
         return self.spark.read.parquet(self.docs_path)
 
-    def read_doc_lens(self) -> DataFrame:
-        """Decoded per-doc token lengths -> (doc_id, doc_len, title_len)."""
+    def read_doc_lens(self, batches: list[int] | None = None) -> DataFrame:
+        """Decoded per-doc token lengths -> (doc_id, doc_len, title_len).
+        ``batches`` restricts to specific lineage batches (an increment's
+        O(increment) doclens instead of the whole index)."""
 
         def decode(batches):
             import pandas as pd
@@ -288,7 +290,7 @@ class IndexStore:
                     }
                 )
 
-        return self.read_doclens().mapInPandas(
+        return self.read_doclens(batches).mapInPandas(
             decode, "doc_id long, doc_len int, title_len int"
         )
 

@@ -505,7 +505,9 @@ class StreamingIndexer:
             first_chunk,
             last_chunk,
         )
-        stats = self.builder.finalize()
+        # O(increment + vocab): fold just this batch into stats/term_stats
+        # (full finalize() would re-aggregate every batch per advance)
+        stats = self.builder.finalize_incremental(metric["batch_id"])
         superseded = 0
         if upsert:
             superseded = self.builder.supersede_old_versions(

@@ -429,3 +429,41 @@ def test_staged_corpus_survives_state_loss_after_compact_staging(
     # and the stream keeps going: the rescan path re-indexes the tail
     rf = indexer.advance(final=True)
     assert rf["num_docs"] == 100
+
+
+def test_incremental_finalize_equals_full(spark, tmp_path):
+    """advance() folds each increment into stats/term_stats in
+    O(increment + vocab) (finalize_incremental); the result must be
+    BIT-identical to a full finalize() over the same index — averages
+    (int-sum / count), df sums and n_chunks counts all exact."""
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=192, seed=47)
+    waves = [rows[:64], rows[64:128], rows[128:]]
+    waves = [
+        [dict(r, repo=f"a{w}-" + r["repo"]) for r in wave]
+        for w, wave in enumerate(waves)
+    ]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    for wave in waves:
+        _stage_wave(spark, indexer, src, wave, schema)
+        indexer.advance()
+    inc_stats = indexer.builder.store.read_stats()
+    inc_ts = sorted(
+        (r.bucket, r.term, r.df, r.n_chunks)
+        for r in indexer.builder.store.read_term_stats().collect()
+    )
+    full_stats = indexer.builder.finalize()  # full O(index) recompute
+    full_ts = sorted(
+        (r.bucket, r.term, r.df, r.n_chunks)
+        for r in indexer.builder.store.read_term_stats().collect()
+    )
+    for k, v in full_stats.items():
+        assert inc_stats[k] == v, (k, inc_stats[k], v)
+    assert inc_ts == full_ts
