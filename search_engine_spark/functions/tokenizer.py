@@ -2,13 +2,15 @@
 
 The reference tokenizes with ``simplemma.simple_tokenizer`` over lowercased
 text (``/root/reference/search_engine/preprocessing.py:40-44``).  simplemma
-is not importable in this environment, so :data:`SIMPLEMMA_TOKREGEX` is a
-re-derivation of the public simplemma project's tokenizer regex
-(adbar/simplemma, ``simplemma/tokenizer.py``, MIT license) written from its
-documented behavior: word-ish tokens (letters/digits/underscore with inner
-``*_-``), currency/number tokens, URLs, and punctuation runs.  A parity test
-against the real ``simplemma.simple_tokenizer`` runs when the package is
-importable (see ``tests/test_tokenizer.py``) and is skipped otherwise; all
+is not installable in this environment, so :data:`SIMPLEMMA_TOKREGEX` is a
+VENDORED transcription of the public simplemma project's ``TOKREGEX``
+(adbar/simplemma, ``simplemma/tokenizer.py``, MIT license): the same four
+alternatives in the same order — currency/number-prefixed compounds (plus
+the ``St.`` abbreviation case), URLs, word tokens with optional
+currency/at/hash/section prefix, and punctuation runs.  When the package is
+importable, ``tests/test_tokenizer.py`` asserts BYTE equality of the
+pattern string against ``simplemma.TOKREGEX.pattern`` and behavior parity
+of ``simplemma_tokenize`` vs ``simple_tokenizer`` (skipped otherwise); all
 fixtures in this repo are generated with THIS tokenizer so engine/oracle
 rank-identity is exact regardless.
 
@@ -22,15 +24,17 @@ from __future__ import annotations
 import re
 from typing import Callable
 
-# Re-derived from the public simplemma tokenizer (adbar/simplemma,
-# simplemma/tokenizer.py).  Alternatives ordered: number-prefixed words,
-# URLs, word tokens (optional currency/at/hash prefix), punctuation runs.
+# Vendored from the public simplemma tokenizer (adbar/simplemma,
+# simplemma/tokenizer.py, MIT).  Alternatives ordered: number-prefixed
+# compounds (+ "St." abbreviation), URLs, word tokens (optional
+# currency/at/hash/section prefix), punctuation runs.  Note the FULLWIDTH
+# yen sign (U+FFE5) in the currency classes — that is upstream's choice.
 SIMPLEMMA_TOKREGEX = re.compile(
     r"(?:"
-    r"(?:[€$¥£+-]?[0-9][0-9.,:%/-]*|St\.)[\w_€-]+"
+    r"(?:[€$￥£+-]?[0-9][0-9.,:%/-]*|St\.)[\w_€-]+"
     r"|https?://[^ ]+"
-    r"|[€$¥£@#§]?\w[\w*_-]*"
-    r"|[,;:\.?!¿¡‽⸮…()\[\]–—~/«»‹›“”„\"‟'']+"
+    r"|[€$￥£@#§]?\w[\w*_-]*"
+    r"|[,;:\.?!¿¡‽⸮…()\[\]–{}—―/‒_“„”⹂‚‘’‛′″‟'\"«»‹›<>=+−×÷•·]+"
     r")"
 )
 

@@ -94,6 +94,12 @@ def test_simplemma_documented_golden_fixtures():
 
 def test_parity_with_real_simplemma():  # pragma: no cover
     simplemma = pytest.importorskip("simplemma", reason="simplemma not installed")
+    # the vendored pattern must be BYTE-identical to upstream's TOKREGEX
+    from simplemma.tokenizer import TOKREGEX
+
+    from search_engine_spark.functions.tokenizer import SIMPLEMMA_TOKREGEX
+
+    assert SIMPLEMMA_TOKREGEX.pattern == TOKREGEX.pattern
     cases = [
         "Hello, World! It's 3.14% done — see https://x.y/z?a=1.",
         "def foo_bar(x): return x*2  # comment",
