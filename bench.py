@@ -113,6 +113,11 @@ def run_bench(cores: int, sf_dir: str, replicas: int, repeats: int) -> dict:
         chunks_per_batch=int(
             os.environ.get("SPARK_GRAFT_CHUNKS_PER_BATCH", "64")
         ),
+        # pipelined lineage batches: concurrent jobs fill slots a single
+        # batch's shuffle leaves idle without growing the commit unit
+        build_concurrency=int(
+            os.environ.get("SPARK_GRAFT_BUILD_CONCURRENCY", "1")
+        ),
         n_term_buckets=16,
     )
     corpus = build_corpus(spark, sf_dir, replicas).cache()

@@ -63,7 +63,10 @@ def cmd_build(args: argparse.Namespace) -> None:
     t0 = time.time()
     builder.build_docs(corpus)
     metrics = builder.build_postings(
-        corpus, resume=not args.no_resume, max_batches=args.max_batches
+        corpus,
+        resume=not args.no_resume,
+        max_batches=args.max_batches,
+        concurrency=args.build_concurrency,
     )
     stats = builder.finalize()
     if args.trigrams:
@@ -586,6 +589,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--tokenizer", default="simplemma")
     b.add_argument("--chunk-docs", type=int, default=1 << 17)
     b.add_argument("--chunks-per-batch", type=int, default=64)
+    b.add_argument("--build-concurrency", type=int, default=1,
+                   help="lineage batches submitted as concurrent Spark "
+                        "jobs (pipelined bulk build; commit unit unchanged)")
     b.add_argument("--term-buckets", type=int, default=32)
     b.add_argument("--idf-threshold", type=float, default=1.5,
                    help="low-IDF term pruning threshold (reference 1.5); "

@@ -45,6 +45,11 @@ class EngineConfig:
     # expressed in chunks so batch boundaries align with chunk boundaries
     # and resumed batches never rewrite earlier (term, chunk) rows.
     chunks_per_batch: int = 64
+    # Independent lineage batches submitted as concurrent Spark jobs
+    # during bulk builds (each writes only its own batch dirs; the shared
+    # lineage append is lock-serialized).  >1 fills scheduler slots a
+    # single batch's shuffle leaves idle without growing the commit unit.
+    build_concurrency: int = 1
 
     # --- spelling correction (reference Q23; trigram table must be built
     # via IndexBuilder.build_trigrams) ---

@@ -474,9 +474,14 @@ class StreamingIndexer:
         tail_count = n_new - n_take
         corpus_cols = [c for c in new.columns]
         tail_version += 1
-        assigned.where(F.col("doc_id") >= n_take).select(
-            *corpus_cols
-        ).write.mode("overwrite").parquet(self._tail_dir(tail_version))
+        if tail_count > 0:
+            # (an empty tail skips the write entirely — state records
+            # tail_count=0 and every tail reader gates on it, so the
+            # absent dir is never opened; a final-advance wave saves a
+            # full re-evaluation of the increment here)
+            assigned.where(F.col("doc_id") >= n_take).select(
+                *corpus_cols
+            ).write.mode("overwrite").parquet(self._tail_dir(tail_version))
         snap = self.spark.read.parquet(inc_path)
         # one aggregate job serves both the key-range _run_batch needs
         # and the snapshot row-count gate (no separate .count())
@@ -506,13 +511,27 @@ class StreamingIndexer:
             last_chunk,
         )
         # O(increment + vocab): fold just this batch into stats/term_stats
-        # (full finalize() would re-aggregate every batch per advance)
-        stats = self.builder.finalize_incremental(metric["batch_id"])
+        # (full finalize() would re-aggregate every batch per advance).
+        # The upsert tombstone write touches neither stats table and BM25
+        # keeps pre-delete stats until compact() anyway, so it runs as a
+        # concurrent job; a failure of either side surfaces before the
+        # state write below commits the increment as consumed.
         superseded = 0
         if upsert:
-            superseded = self.builder.supersede_old_versions(
-                within=snap.select("repo", "path")
-            )["deleted"]
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                f_stats = pool.submit(
+                    self.builder.finalize_incremental, metric["batch_id"]
+                )
+                f_sup = pool.submit(
+                    self.builder.supersede_old_versions,
+                    within=snap.select("repo", "path"),
+                )
+                stats = f_stats.result()
+                superseded = f_sup.result()["deleted"]
+        else:
+            stats = self.builder.finalize_incremental(metric["batch_id"])
         self._write_state(
             sink_hwm=sink_hwm,
             lineage_batch=batch_id,

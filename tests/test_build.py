@@ -322,3 +322,36 @@ def test_load_corpus_table_prefix_forces_catalog(spark):
     got = load_corpus(spark, "table:corpus_tbl_prefixed")
     assert got.count() == 5
     assert got.columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_concurrent_batches_equal_serial(spark, tmp_path):
+    """build_postings(concurrency=3) pipelines independent lineage
+    batches as concurrent Spark jobs; the resulting index must be
+    IDENTICAL to a serial build — same postings rows, same stats, same
+    committed lineage coverage — because each batch writes only its own
+    batch dirs and the lineage append is lock-serialized."""
+    rows = synth_corpus(n_docs=320, seed=11)
+    corpus = spark.createDataFrame(rows)
+    cfg = EngineConfig(
+        chunk_docs=32, chunks_per_batch=2, block_docs=8, n_term_buckets=8
+    )
+    b_ser = IndexBuilder(spark, str(tmp_path / "ser"), cfg)
+    s_ser = b_ser.build_all(corpus)
+    b_con = IndexBuilder(spark, str(tmp_path / "con"), cfg)
+    s_con = b_con.build_all(corpus, concurrency=3)
+
+    assert sorted(b_con.store.committed_batches()) == sorted(
+        b_ser.store.committed_batches()
+    )
+    assert {k: s_con[k] for k in s_ser} == s_ser
+
+    def fingerprint(store):
+        return sorted(
+            (
+                r.bucket, r.term, r.chunk_id,
+                bytes(r.doc_ids), bytes(r.tfs_body), bytes(r.tfs_title),
+            )
+            for r in store.read_postings().collect()
+        )
+
+    assert fingerprint(b_con.store) == fingerprint(b_ser.store)
