@@ -909,6 +909,21 @@ def cpu_probe() -> dict:
     return out
 
 
+def _write_detail(detail: dict, name: str) -> str:
+    """Persist the full detail dict under bench_runs/ and return the
+    repo-relative path.  The per-round driver keeps only the last ~2000
+    chars of stdout; round 3's summary line inlined the whole detail
+    dict, overflowed that window, and the driver recorded parsed=null —
+    so the printed line stays compact and the file carries everything."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    d = os.path.join(root, "bench_runs")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, name)
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+    return os.path.relpath(path, root)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
@@ -1017,15 +1032,48 @@ def main() -> None:
             "estimator": f"median of {trials} interleaved trials per level",
             "cpu_accounted_efficiency": cpu_eff,
             "query_batch_speedup": round(q_lo / q_hi, 3) if q_hi else None,
-            "detail": {
-                str(c): {**results[c]["detail"], "runs": all_runs[c]}
-                for c in (lo_c, hi_c)
-            },
+            "detail_file": _write_detail(
+                {
+                    str(c): {**results[c]["detail"], "runs": all_runs[c]}
+                    for c in (lo_c, hi_c)
+                },
+                f"last_scaling_{lo_c}v{hi_c}.json",
+            ),
         }
         print(json.dumps(summary))
         return
 
     detail = run_bench(cores, sf_dir, replicas, args.repeats)
+    if args.json_only:
+        # subprocess mode (scaling parent parses detail from our stdout)
+        print(json.dumps({"detail": detail}))
+        return
+    detail_file = _write_detail(detail, "last_default_run.json")
+
+    def _g(*keys: str):
+        cur: object = detail
+        for k in keys:
+            if not isinstance(cur, dict) or k not in cur:
+                return None
+            cur = cur[k]
+        return cur
+
+    headline = {
+        # one representative number per r3/r4 operator family; everything
+        # else lives in detail_file
+        "serve_warm_p50_sec": _g("serve", "warm_request_p50_sec"),
+        "serve_16_clients_rps": _g("serve", "concurrent_16_rps"),
+        "upsert_docs_per_sec": _g("upsert", "upsert_docs_per_sec"),
+        "dedup_exact_rows_per_sec": _g(
+            "pipeline_scale", "dedup_exact_rows_per_sec"
+        ),
+        "minhash_lsh_rows_per_sec": _g(
+            "pipeline_scale", "minhash_lsh_rows_per_sec"
+        ),
+        "ann_lsh_probe_1m_p50_sec": _g(
+            "pipeline_scale", "ann_lsh_probe_1m_p50_sec"
+        ),
+    }
     result = {
         "metric": "index_build_docs_per_sec",
         "value": detail["build_docs_per_sec"],
@@ -1034,13 +1082,21 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "query_p50_sec": detail["query_p50_sec"],
         "query_p99_sec": detail["query_p99_sec"],
+        **{k: v for k, v in headline.items() if v is not None},
+        "scale_anchor_5m": "5.12M docs 61.2k docs/s build "
+        "(bench_runs/r4_scale5m.json)",
         # N-vs-4N scaling efficiency is measured by `bench.py --scaling`
         # (long run, 1.28M docs); the per-round artifacts live in
         # bench_runs/ and are tabulated in BASELINE.md
-        "scaling_evidence": "bench_runs/*.json + BASELINE.md (run: python bench.py --scaling)",
-        "detail": detail,
+        "scaling_evidence": "bench_runs/*.json + BASELINE.md "
+        "(run: python bench.py --scaling)",
+        "detail_file": detail_file,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1800:  # keep within the driver's stdout tail window
+        result.pop("queries", None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -93,9 +93,15 @@ def test_simplemma_documented_golden_fixtures():
 
 
 def test_parity_with_real_simplemma():  # pragma: no cover
-    simplemma = pytest.importorskip("simplemma", reason="simplemma not installed")
+    # importorskip the SUBMODULE: ref_harness stubs bare `simplemma` in
+    # sys.modules for the oracle, and the stub has no tokenizer submodule
+    tokenizer_mod = pytest.importorskip(
+        "simplemma.tokenizer", reason="real simplemma not installed"
+    )
+    import simplemma
+
     # the vendored pattern must be BYTE-identical to upstream's TOKREGEX
-    from simplemma.tokenizer import TOKREGEX
+    TOKREGEX = tokenizer_mod.TOKREGEX
 
     from search_engine_spark.functions.tokenizer import SIMPLEMMA_TOKREGEX
 
