@@ -23,6 +23,15 @@ builds with ``--conf spark.task.cpus=2`` (or halve
 ``spark.executor.cores``) so the scheduler doesn't oversubscribe
 executor vcores — measured 2.2x build throughput at 32 local cores
 (see BASELINE.md round-3 scaling section).
+
+Sizing note for query/serve jobs: the OPPOSITE holds once the index is
+large.  Query chunk kernels are short-lived per task and leave the
+Arrow feed thread mostly idle, so ``spark.task.cpus=1`` (full slot
+count) wins when kernel compute dominates scheduling — measured p50
+2.62 -> 1.66 s and 4-term-OR 8.6 -> 4.2 s on a 20.48M-doc / 537M-
+posting index at 32 local cores (bench_runs/r4_scale20m_queryconfig
+.json).  At tiny per-query work (40k docs) the scheduling-bound regime
+favors task.cpus=2 instead; size per workload, not globally.
 """
 
 from __future__ import annotations
