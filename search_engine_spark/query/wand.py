@@ -127,20 +127,47 @@ def wand_topk(
     order = np.argsort(-seg_ub, kind="stable")
     K = plan.num_candidates
 
+    # Geometric batching of the ub-descending sweep: segment-at-a-time
+    # in Python is ~n_seg tiny numpy calls per chunk, which on a corpus
+    # whose block maxima are too uniform to prune costs MORE than one
+    # exhaustive vectorized pass (measured 5.6 s vs 2.15 s for a 4-term
+    # OR over 537M postings).  Scoring extra segments is rank-neutral —
+    # the pool keeps the deterministic (-score, doc_id) top-K and a doc
+    # from a segment with ub < θ can never displace a pool entry — so
+    # batches only trade pruning granularity for vectorization.  A small
+    # first batch establishes θ early (keeps the prunable-workload win),
+    # then doubling approaches one big vectorized pass within log2 steps.
     pool_docs = _EMPTY_I64
     pool_scores = _EMPTY_F64
     theta = -np.inf
-    for si in order.tolist():
-        if pool_docs.size >= K and seg_ub[si] < theta:
+    i = 0
+    batch_size = 8
+    while i < order.size:
+        if pool_docs.size >= K and seg_ub[order[i]] < theta:
             break  # ub-descending order: nothing later can place either
-        lo, hi = seg_lo[si], bounds[si]
+        batch = order[i : i + batch_size]
+        i += batch.size
+        batch_size = min(batch_size * 2, 4096)
+        los, his = seg_lo[batch], bounds[batch]
         parts = []
         for t in uniq_terms:
             d = terms[t].docs
-            a = np.searchsorted(d, lo, side="right")
-            z = np.searchsorted(d, hi, side="right")
-            if z > a:
-                parts.append(d[a:z])
+            a = np.searchsorted(d, los, side="right")
+            z = np.searchsorted(d, his, side="right")
+            lens = z - a
+            nz = lens > 0
+            if not nz.any():
+                continue
+            starts, ls = a[nz], lens[nz]
+            total = int(ls.sum())
+            # vectorized multi-range gather (flatten/np.repeat idiom)
+            offs = np.concatenate(([0], np.cumsum(ls)[:-1]))
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs, ls)
+                + np.repeat(starts, ls)
+            )
+            parts.append(d[idx])
         if not parts:
             continue
         matched = np.unique(np.concatenate(parts))
