@@ -64,8 +64,9 @@ corpus = (
 # (the in-memory crossJoin can't push filters, so each batch would
 # rescan the whole synthetic corpus -- a harness artifact, not engine cost)
 corpus_path = "/tmp/se_corpus_20m.parquet"
-import shutil as _sh
-if not os.path.isdir(corpus_path):
+# _SUCCESS marker (not bare dir existence) gates the cache: a run killed
+# mid-write leaves a partial dir that must be rebuilt, not benchmarked
+if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
     t = time.time()
     corpus.orderBy("repo", "path").write.mode("overwrite").parquet(corpus_path)
     print("corpus materialize", round(time.time() - t, 1), "s", flush=True)
