@@ -958,7 +958,10 @@ def main() -> None:
             for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
         )
         scale_reps = int(
-            os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "256")
+            # 512 reps = 2.56M docs: large enough that per-batch fixed
+            # tails don't dilute the ratio (256 reps reads 0.76 where
+            # 512 reads 0.853 — see BASELINE.md round-4 scaling)
+            os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "512")
         )
         trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
         results: dict[int, dict] = {}
