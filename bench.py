@@ -1086,8 +1086,9 @@ def main() -> None:
         "query_p50_sec": detail["query_p50_sec"],
         "query_p99_sec": detail["query_p99_sec"],
         **{k: v for k, v in headline.items() if v is not None},
-        "scale_anchor_5m": "5.12M docs 61.2k docs/s build "
-        "(bench_runs/r4_scale5m.json)",
+        "scale_anchor": "20.48M docs 88.4k docs/s build "
+        "(bench_runs/r4_scale20m.json); 5.12M 61-64k + compaction "
+        "(r4_scale5m*.json)",
         # N-vs-4N scaling efficiency is measured by `bench.py --scaling`
         # (long run, 1.28M docs); the per-round artifacts live in
         # bench_runs/ and are tabulated in BASELINE.md
