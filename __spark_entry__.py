@@ -37,7 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
-    from search_engine_spark.contracts import CORE_QUERIES
+    from search_engine_spark.contracts import (
+        CORE_QUERIES,
+        ordered_query,
+        ordered_sql,
+    )
 
     reg = dict(CORE_QUERIES)
     try:
@@ -48,7 +52,17 @@ def _registry() -> dict[str, tuple]:
         reg.update(PIPELINE_QUERIES)
     except ImportError:  # pipeline extras not present yet
         pass
-    return reg
+    # Pin a deterministic total row order on BOTH sides of every contract:
+    # the driver hashes rows in emitted order, which is shuffle-dependent
+    # for any plan ending in a join/groupBy/window (r4: token_budget_select
+    # was bit-identical in values but hash-mismatched on order alone).
+    return {
+        name: (
+            ordered_query(fn),
+            ordered_sql(sql) if sql is not None else None,
+        )
+        for name, (fn, sql) in reg.items()
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

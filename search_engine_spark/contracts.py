@@ -1434,6 +1434,38 @@ LIMIT 20
 )
 
 
+# ------------------------------------------------------- row-order pinning
+#
+# The driver hashes contract output in *emitted row order*; any query whose
+# plan ends in a shuffle (join, groupBy, window) emits rows in a
+# partition-scheduling-dependent order, so even bit-identical value sets can
+# hash-mismatch (round 4: ``token_budget_select``).  Every contract is
+# therefore funneled through these two wrappers, which impose the same total
+# order on both sides: sort by every select-list column, left to right,
+# ascending, NULLS FIRST (Spark's ASC default; DuckDB needs it spelled out).
+# Columns whose values differ would fail the hash anyway, so the shared sort
+# key is always well-defined, and both engines order NaN greatest-ascending.
+# Requires identical select-list column ORDER on both sides — asserted for
+# every contract by ``tests/test_contracts.py::test_contract_column_order``.
+
+def ordered_query(fn):
+    """Wrap a contract callable so its output has a deterministic order."""
+
+    def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        return df.orderBy(*[F.asc_nulls_first(c) for c in df.columns])
+
+    g.__name__ = getattr(fn, "__name__", "contract_query")
+    g.__doc__ = fn.__doc__
+    return g
+
+
+def ordered_sql(sql: str) -> str:
+    """Wrap oracle SQL with the matching select-list-order total sort."""
+    inner = sql.strip().rstrip(";")
+    return f"SELECT * FROM (\n{inner}\n) AS _contract_q ORDER BY ALL NULLS FIRST"
+
+
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
     "compaction_search_topk": (q_compaction_search, SQL_SEARCH_OR),

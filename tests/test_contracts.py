@@ -52,9 +52,12 @@ def _norm_cell(v):
     return v
 
 def _normalize(cols, rows):
+    # Rows are compared in EMITTED order (the driver hashes row order, so
+    # every contract must pin a deterministic total order on both sides);
+    # only the column order inside each row is name-normalized.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
+    return sorted(cols), out
 
 
 def _pairs():
@@ -76,7 +79,7 @@ def _pairs():
         ("search_semantic_topk", cc._sql_search_semantic),
     ):
         if name in o:
-            o[name] = gen(SF_DIR)
+            o[name] = cc.ordered_sql(gen(SF_DIR))
     return [(name, q[name], o.get(name)) for name in sorted(q)]
 
 
@@ -89,7 +92,10 @@ def test_contract_matches_oracle(spark, name, fn, sql):
         assert len(spark_rows) >= 0  # rows-only check (driver's weak mode)
         return
     duck_cols, duck_rows = _duck(sql)
-    assert sorted(spark_cols) == sorted(duck_cols), name
+    # exact (unsorted) equality: the deterministic row order both sides
+    # emit is "sort by every select-list column left-to-right", so the
+    # select-list column ORDER must match, not just the name set
+    assert spark_cols == duck_cols, name
     s_cols, s_rows = _normalize(spark_cols, spark_rows)
     d_cols, d_rows = _normalize(duck_cols, duck_rows)
     assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
