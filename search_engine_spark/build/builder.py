@@ -346,9 +346,23 @@ class IndexBuilder:
         # — replaced pre-compaction rows would double-count) — avoids a
         # second full postings scan
         lineage = self.store.read_lineage_committed()
-        total_postings = lineage.agg(F.sum("n_postings")).head()[0] or 0
+        lin = lineage.agg(
+            F.sum("n_postings").alias("n_postings"),
+            F.sum("n_docs").alias("n_docs"),
+        ).head()
+        total_postings = lin.n_postings or 0
         postings = self.store.read_postings()
-        stats = {**stats_row, "total_postings": int(total_postings)}
+        stats = {
+            **stats_row,
+            "total_postings": int(total_postings),
+            # allocated-id coverage stamp: the committed-lineage n_docs sum
+            # (== docs.count() across deletes AND purges — n_docs means ids
+            # ALLOCATED) these stats reflect.  finalize_incremental
+            # cross-checks it so a crash that committed a batch's lineage
+            # but lost its stats fold can never silently compound — it
+            # detects the stale base and falls back to this full pass.
+            "ids_covered": int(lin.n_docs or 0),
+        }
         self.spark.createDataFrame([stats]).coalesce(1).write.mode(
             "overwrite"
         ).parquet(self.store.stats_path)
@@ -386,7 +400,11 @@ class IndexBuilder:
         update — a crash mid-swap fails engine opens loudly and
         :meth:`repair_pending_finalize` rebuilds via the full
         :meth:`finalize`.  Falls back to the full path when the stats
-        file predates the persisted sums."""
+        file predates the persisted sums, and — via the ``ids_covered``
+        allocated-id stamp — when the stats base is STALE (a prior crash
+        landed between a batch's lineage append and its stats fold, a
+        window no marker covers), so a lost fold heals on the next
+        advance instead of compounding silently."""
         import shutil
 
         if not os.path.isdir(self.store.stats_path):
@@ -394,6 +412,51 @@ class IndexBuilder:
         old = self.store.read_stats()
         if old.get("sum_doc_len") is None:
             return self.finalize()  # pre-r4 stats file: one full pass
+
+        # --- stale-base cross-check (closes the r4 ADVICE crash window):
+        # a crash between _run_batch's lineage append (batch visible) and
+        # this method's pending marker leaves stats that silently miss one
+        # batch — the torn-increment gate (docs rows == lineage ids sum)
+        # still passes, and folding later increments onto the stale base
+        # would compound the error permanently.  The stats file therefore
+        # carries ``ids_covered`` (the committed-lineage allocated-id sum
+        # it reflects); if the base doesn't equal the current committed
+        # sum MINUS this batch's ids, some prior fold was lost — rebuild
+        # via the full finalize() (marker-bracketed so a crash inside the
+        # rebuild is still detected by engine opens / repaired).
+        lineage = self.store.lineage_rows_meta(
+            ["batch_id", "replaces", "n_postings", "n_docs"]
+        )
+        replaced: set[int] = set()
+        for r in lineage:
+            if r["replaces"]:
+                replaced.update(r["replaces"])
+        committed_rows = [r for r in lineage if r["batch_id"] not in replaced]
+        total_postings = sum(
+            int(r["n_postings"] or 0) for r in committed_rows
+        )
+        ids_total = sum(int(r["n_docs"] or 0) for r in committed_rows)
+        batch_ids = sum(
+            int(r["n_docs"] or 0)
+            for r in committed_rows
+            if r["batch_id"] == batch_id
+        )
+        if (
+            old.get("ids_covered") is None  # pre-r5 stats file
+            or int(old["ids_covered"]) != ids_total - batch_ids
+        ):
+            with open(self.store.pending_finalize_path, "w") as fh:
+                json.dump(
+                    {
+                        "batch_id": batch_id,
+                        "incremental": True,
+                        "stale_base": True,
+                    },
+                    fh,
+                )
+            stats = self.finalize()
+            os.remove(self.store.pending_finalize_path)
+            return stats
 
         with open(self.store.pending_finalize_path, "w") as fh:
             json.dump({"batch_id": batch_id, "incremental": True}, fh)
@@ -413,18 +476,6 @@ class IndexBuilder:
             num_docs = int(old["num_docs"]) + int(raw.num_docs)
             sum_dl = int(old["sum_doc_len"]) + int(raw.sum_doc_len or 0)
             sum_tl = int(old["sum_title_len"]) + int(raw.sum_title_len or 0)
-            lineage = self.store.lineage_rows_meta(
-                ["batch_id", "replaces", "n_postings"]
-            )
-            replaced: set[int] = set()
-            for r in lineage:
-                if r["replaces"]:
-                    replaced.update(r["replaces"])
-            total_postings = sum(
-                int(r["n_postings"] or 0)
-                for r in lineage
-                if r["batch_id"] not in replaced
-            )
             stats = {
                 "num_docs": num_docs,
                 "avg_doc_len": sum_dl / num_docs if num_docs else 0.0,
@@ -438,6 +489,7 @@ class IndexBuilder:
                 "sum_doc_len": sum_dl,
                 "sum_title_len": sum_tl,
                 "total_postings": int(total_postings),
+                "ids_covered": int(ids_total),
             }
             self.spark.createDataFrame([stats]).coalesce(1).write.mode(
                 "overwrite"

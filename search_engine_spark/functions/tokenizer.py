@@ -29,6 +29,15 @@ from typing import Callable
 # compounds (+ "St." abbreviation), URLs, word tokens (optional
 # currency/at/hash/section prefix), punctuation runs.  Note the FULLWIDTH
 # yen sign (U+FFE5) in the currency classes — that is upstream's choice.
+#
+# The transcription is FROZEN by SIMPLEMMA_TOKREGEX_SHA256 below
+# (asserted by tests/test_tokenizer.py), so an accidental edit can never
+# silently change tokenization; every fixture/oracle in this repo is
+# generated with this exact pattern.  Upstream byte-parity itself is
+# env-gated: on a host where simplemma IS installable, run
+#   python -m pytest tests/test_tokenizer.py -q
+# and test_parity_with_real_simplemma compares the pattern bytes (and
+# prints upstream's hash on mismatch for recording here).
 SIMPLEMMA_TOKREGEX = re.compile(
     r"(?:"
     r"(?:[€$￥£+-]?[0-9][0-9.,:%/-]*|St\.)[\w_€-]+"
@@ -36,6 +45,11 @@ SIMPLEMMA_TOKREGEX = re.compile(
     r"|[€$￥£@#§]?\w[\w*_-]*"
     r"|[,;:\.?!¿¡‽⸮…()\[\]–{}—―/‒_“„”⹂‚‘’‛′″‟'\"«»‹›<>=+−×÷•·]+"
     r")"
+)
+
+# SHA-256 of SIMPLEMMA_TOKREGEX.pattern (UTF-8) — the frozen transcription
+SIMPLEMMA_TOKREGEX_SHA256 = (
+    "bbf87ca52898837e7831f062324147757d96f66a89b67ca22bbecba44cc30a8d"
 )
 
 SIMPLE_TOKREGEX = re.compile(r"[a-z0-9_]+")

@@ -20,6 +20,7 @@ metadata only for WAND-eligible ones.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -77,13 +78,32 @@ class SearchEngine:
         self.store = IndexStore(spark, index_dir, self.config)
         # a crashed purging compact() can leave purged postings visible
         # with stale pre-purge collection stats — BM25 would be silently
-        # wrong.  Fail loudly instead of mis-scoring.
+        # wrong.  Fail loudly instead of mis-scoring.  The marker is also
+        # present transiently during every streaming advance's
+        # finalize_incremental, so read its payload and word the error
+        # for the case that actually applies (a reader racing a live
+        # advance should just retry; a crashed writer needs repair).
         if os.path.exists(self.store.pending_finalize_path):
-            raise RuntimeError(
-                "index has a pending finalize (a purging compact() "
-                "crashed between its lineage commit and stats recompute); "
-                "run IndexBuilder.repair_pending_finalize() before querying"
-            )
+            payload = {}
+            try:
+                with open(self.store.pending_finalize_path) as fh:
+                    payload = json.load(fh)
+            except (OSError, ValueError):
+                pass
+            if payload.get("incremental"):
+                detail = (
+                    "a streaming advance()'s finalize_incremental is in "
+                    "flight or crashed mid-update; if an ingester is "
+                    "running, retry after it advances — otherwise run "
+                    "IndexBuilder.repair_pending_finalize()"
+                )
+            else:
+                detail = (
+                    "a purging compact() crashed between its lineage "
+                    "commit and stats recompute; run "
+                    "IndexBuilder.repair_pending_finalize() before querying"
+                )
+            raise RuntimeError(f"index has a pending finalize: {detail}")
         # layout params (bucket count, chunk size, tokenizer, ...) come from
         # the index itself — a mismatch would empty every pruned lookup
         self.config = self.store.load_meta_into_config()
@@ -717,21 +737,37 @@ class SearchEngine:
         # (the only broadcast of the tiny ranked ids — the docs side is a
         # streamed scan), then broadcast the <= |ranked| pruned metadata
         # back onto the ranked rows.
+        #
+        # Each side that feeds more than one downstream plan is pinned
+        # with a LAZY localCheckpoint so the expensive subplans run
+        # exactly ONCE: the ranked query (otherwise re-executed by the
+        # hit-id broadcast AND the final join) and the pruned docs scan
+        # (otherwise re-scanned by the snippet-key broadcast).  Both
+        # checkpoints are top-k sized — never corpus sized.  Lazy, not
+        # eager: the first broadcast job materializes them in passing,
+        # where eager would pay extra serialized job floors up front
+        # (measured 0.94 vs 0.74 s warm-request p50 at 40k docs).
+        ranked = ranked.localCheckpoint(eager=False)
         docs = self.store.read_docs().select(
             "doc_id", "repo", "path", "commit", "lang"
         )
         hit_ids = ranked.select("doc_id").distinct()
         docs_hit = docs.join(F.broadcast(hit_ids), "doc_id", "leftsemi")
+        if corpus is not None:
+            docs_hit = docs_hit.localCheckpoint(eager=False)
         out = ranked.join(F.broadcast(docs_hit), "doc_id", "left")
         if corpus is not None:
-            # same shape for the corpus-sized snippet source
+            # same shape for the corpus-sized snippet source; the keys
+            # come from the already-pruned docs_hit (it carries repo/
+            # path/commit for exactly the hit docs), not from `out`,
+            # which would drag the ranked+docs join into the broadcast
             snip = corpus.select(
                 "repo", "path", "commit",
                 F.substring("content", 1, self.config.snippet_length).alias(
                     "snippet"
                 ),
             )
-            keys = out.select("repo", "path", "commit").distinct()
+            keys = docs_hit.select("repo", "path", "commit").distinct()
             snip_hit = snip.join(
                 F.broadcast(keys), ["repo", "path", "commit"], "leftsemi"
             )

@@ -183,13 +183,23 @@ class StreamingIndexer:
         once per increment on unfiltered parquet dirs/files, where the
         footer sum is the same number a ``.count()`` job would return.
         O(#files) footer opens; at production increment sizes that is
-        milliseconds vs a full scheduler round-trip per gate."""
+        milliseconds vs a full scheduler round-trip per gate.
+
+        Every listed path must exist: the fast path hands this the exact
+        sink-log delta file list that ``spark.read.parquet(*delta)`` will
+        scan, and silently skipping a vanished file would undercount the
+        gate and surface later as a confusing snapshot row-count
+        mismatch instead of the real missing-file error."""
         import pyarrow.dataset as pads
 
         if isinstance(paths, str):
             paths = [paths]
         locs = [p[7:] if p.startswith("file://") else p for p in paths]
-        locs = [p for p in locs if os.path.exists(p)]
+        missing = [p for p in locs if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                "listed parquet path(s) do not exist: " + ", ".join(missing)
+            )
         if not locs:
             return 0
         # pyarrow only accepts directories as a SINGLE path argument —

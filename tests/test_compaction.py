@@ -196,8 +196,22 @@ def test_crash_between_purge_commit_and_finalize_is_detected(
 
     marker = builder.store.pending_finalize_path
     assert os.path.exists(marker)
-    with pytest.raises(RuntimeError, match="pending finalize"):
+    # the crashed-compact marker (no "incremental" flag) must word the
+    # diagnostic for the purge case ...
+    with pytest.raises(RuntimeError, match="purging compact"):
         SearchEngine(spark, index_dir, CFG)
+    # ... while an in-flight/crashed streaming advance's marker (payload
+    # {"incremental": true}) must NOT claim a compact crashed — a reader
+    # racing a live advance should be told to retry
+    import json as _json
+
+    saved = open(marker).read()
+    with open(marker, "w") as fh:
+        _json.dump({"batch_id": 99, "incremental": True}, fh)
+    with pytest.raises(RuntimeError, match="streaming advance"):
+        SearchEngine(spark, index_dir, CFG)
+    with open(marker, "w") as fh:
+        fh.write(saved)
 
     assert builder.repair_pending_finalize() is True
     assert not os.path.exists(marker)

@@ -210,20 +210,39 @@ def _broadcast_subtrees(plan_str: str) -> list[str]:
 def test_doc_info_never_broadcasts_docs_table(setup, spark):
     """The docs table is corpus-row-count sized: any BroadcastExchange
     subtree that scans it must be the LeftSemi-pruned hit set, never the
-    raw table (a driver OOM at 100x scale)."""
+    raw table (a driver OOM at 100x scale).
+
+    Without a corpus, the pruning semi-join is visible in the output
+    plan; with a corpus, docs_hit is pinned by a lazy localCheckpoint
+    (so the docs scan runs exactly once) and the output plan must
+    broadcast only checkpointed-RDD rows — never a raw docs or corpus
+    scan."""
     engine, _oracle = setup
     rows = synth_corpus(n_docs=150, seed=7)
     corpus = spark.createDataFrame(rows)
-    ranked = engine.search("zqmerge", SearchMode.AND)
-    out = engine.with_doc_info(ranked, corpus)
-    plan = out._jdf.queryExecution().executedPlan().toString()
     docs_loc = str(engine.store.docs_path)
+
+    # arm 1: metadata-only — the docs broadcast must be LeftSemi-pruned
+    ranked = engine.search("zqmerge", SearchMode.AND)
+    meta = engine.with_doc_info(ranked)
+    plan = meta._jdf.queryExecution().executedPlan().toString()
     hits = 0
     for sub in _broadcast_subtrees(plan):
         if docs_loc in sub or "/docs]" in sub:
             hits += 1
             assert "LeftSemi" in sub, sub[:2000]
     assert hits >= 1, plan[:2000]
+    assert len(meta.collect()) > 0
+
+    # arm 2: with snippets — no broadcast subtree may scan the docs
+    # table or the corpus raw (only checkpointed top-k-sized RDDs and
+    # the semi-join-pruned snippet rows are broadcast)
+    ranked = engine.search("zqmerge", SearchMode.AND)
+    out = engine.with_doc_info(ranked, corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for sub in _broadcast_subtrees(plan):
+        if docs_loc in sub or "/docs]" in sub:
+            assert "LeftSemi" in sub, sub[:2000]
     info = out.collect()
     assert len(info) > 0 and all(r.path is not None for r in info)
     assert all(r.snippet is not None for r in info)

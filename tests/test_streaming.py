@@ -467,3 +467,79 @@ def test_incremental_finalize_equals_full(spark, tmp_path):
     for k, v in full_stats.items():
         assert inc_stats[k] == v, (k, inc_stats[k], v)
     assert inc_ts == full_ts
+
+
+def test_stale_stats_base_heals_on_next_advance(spark, tmp_path):
+    """The r4-ADVICE crash window: a crash AFTER _run_batch's lineage
+    append but BEFORE finalize_incremental's pending marker leaves stats
+    that silently miss one batch — no marker on disk, and the
+    torn-increment gate (docs rows == lineage ids sum) still passes.
+    The stats file's ``ids_covered`` stamp must detect the stale base on
+    the NEXT advance and rebuild via the full finalize instead of
+    compounding the error forever."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    rows = synth_corpus(n_docs=192, seed=47)
+    waves = [
+        [dict(r, repo=p + r["repo"]) for r in rows[i:i + 64]]
+        for p, i in (("a-", 0), ("b-", 64), ("c-", 128))
+    ]
+    schema = T.StructType.fromDDL(
+        "repo string, path string, commit string, lang string, content string"
+    )
+    src = str(tmp_path / "arrivals")
+    indexer = StreamingIndexer(
+        spark, str(tmp_path / "idx"), str(tmp_path / "stg"), CFG
+    )
+    store = indexer.builder.store
+
+    _stage_wave(spark, indexer, src, waves[0], schema)
+    indexer.advance()
+    # snapshot the wave-1-era stats + term_stats
+    snap = tmp_path / "stale_snap"
+    shutil.copytree(store.stats_path, snap / "stats")
+    shutil.copytree(store.term_stats_path, snap / "term_stats")
+
+    _stage_wave(spark, indexer, src, waves[1], schema)
+    indexer.advance()
+    # simulate the crash: wave 2's lineage/postings/docs are committed,
+    # but its stats fold is lost (and no pending marker exists)
+    shutil.rmtree(store.stats_path)
+    shutil.rmtree(store.term_stats_path)
+    shutil.copytree(snap / "stats", store.stats_path)
+    shutil.copytree(snap / "term_stats", store.term_stats_path)
+    assert store.read_stats()["num_docs"] == 64  # stale base in place
+    assert not __import__("os").path.exists(store.pending_finalize_path)
+
+    # next advance must detect ids_covered(64) != lineage-sum(192) - 64
+    # and heal through the full finalize — covering the lost wave too
+    _stage_wave(spark, indexer, src, waves[2], schema)
+    r = indexer.advance(final=True)
+    assert r["num_docs"] == 192
+    healed = store.read_stats()
+    assert healed["num_docs"] == 192
+    assert healed["ids_covered"] == 192
+    full = indexer.builder.finalize()  # idempotent O(index) recompute
+    for k, v in full.items():
+        assert healed[k] == v, (k, healed[k], v)
+    # and search over the healed index is rank-identical to the oracle
+    eng = SearchEngine(spark, str(tmp_path / "idx"), CFG)
+    all_sorted = sorted(
+        (row for wave in waves for row in wave),
+        key=lambda x: (x["repo"], x["path"], x["commit"]),
+    )
+    oracle = RefSemIndex(corpus_to_tokens(all_sorted))
+    _n, ref = oracle.search_text("zqmerge", SearchMode.AND)
+    assert _ranked(eng, "zqmerge", SearchMode.AND) == [
+        (d, pytest.approx(s, rel=1e-9)) for s, d in ref
+    ]
+
+
+def test_parquet_rows_raises_on_missing_path(tmp_path):
+    """A vanished sink delta file must fail at the footer-count gate with
+    the real missing-file error, not surface later as a confusing
+    'increment snapshot row-count mismatch' undercount."""
+    with pytest.raises(FileNotFoundError, match="missing.parquet"):
+        StreamingIndexer._parquet_rows([str(tmp_path / "missing.parquet")])

@@ -92,6 +92,23 @@ def test_simplemma_documented_golden_fixtures():
     ]
 
 
+def test_vendored_tokregex_is_frozen():
+    """The vendored pattern's recorded SHA-256 pins the transcription:
+    any edit to SIMPLEMMA_TOKREGEX (typo, 'cleanup', re-derivation) fails
+    here even on hosts where simplemma itself is not installable."""
+    import hashlib
+
+    from search_engine_spark.functions.tokenizer import (
+        SIMPLEMMA_TOKREGEX,
+        SIMPLEMMA_TOKREGEX_SHA256,
+    )
+
+    actual = hashlib.sha256(
+        SIMPLEMMA_TOKREGEX.pattern.encode("utf-8")
+    ).hexdigest()
+    assert actual == SIMPLEMMA_TOKREGEX_SHA256
+
+
 def test_parity_with_real_simplemma():  # pragma: no cover
     # importorskip the SUBMODULE: ref_harness stubs bare `simplemma` in
     # sys.modules for the oracle, and the stub has no tokenizer submodule
@@ -105,7 +122,15 @@ def test_parity_with_real_simplemma():  # pragma: no cover
 
     from search_engine_spark.functions.tokenizer import SIMPLEMMA_TOKREGEX
 
-    assert SIMPLEMMA_TOKREGEX.pattern == TOKREGEX.pattern
+    if SIMPLEMMA_TOKREGEX.pattern != TOKREGEX.pattern:
+        import hashlib
+
+        up = hashlib.sha256(TOKREGEX.pattern.encode("utf-8")).hexdigest()
+        pytest.fail(
+            "vendored pattern diverges from installed simplemma "
+            f"TOKREGEX (upstream sha256={up}); reconcile the "
+            "transcription in functions/tokenizer.py"
+        )
     cases = [
         "Hello, World! It's 3.14% done — see https://x.y/z?a=1.",
         "def foo_bar(x): return x*2  # comment",
