@@ -130,3 +130,49 @@ def test_concurrent_requests(served):
     first = [(r["doc_id"], r["rank"]) for r in results[0]["results"]]
     for body in results[1:]:
         assert [(r["doc_id"], r["rank"]) for r in body["results"]] == first
+
+
+def test_micro_batch_mixed_k_and_bad_query_isolation(served):
+    """Concurrent requests ride one micro-batched search_batch job; a
+    request's k is honored via the rank<=k prefix even when batch-mates
+    asked for more, and a malformed query in the batch fails ALONE (the
+    batcher re-runs the batch solo on failure) while its mates still get
+    full results."""
+    _spark, _idx, base = served
+    out: dict[int, tuple[int, dict]] = {}
+
+    reqs = [
+        ("zqmerge", "AND", 2),
+        ("zqmerge zqshard", "OR", 5),
+        (")zqmerge(", "QUERY_EVALUATOR", 3),  # mismatched parens: raises
+        ("zqmerge", "AND", 5),
+    ]
+
+    def hit(i, q, mode, k):
+        out[i] = _get(
+            base + "/search?" + urllib.parse.urlencode(
+                {"q": q, "mode": mode, "k": k}
+            )
+        )
+
+    threads = [
+        threading.Thread(target=hit, args=(i, *r))
+        for i, r in enumerate(reqs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # the malformed query fails alone
+    assert out[2][0] in (400, 500)
+    # k=2 is the prefix of the same query's k=5 result
+    assert out[0][0] == 200 and out[3][0] == 200
+    top2 = [(r["doc_id"], r["rank"]) for r in out[0][1]["results"]]
+    top5 = [(r["doc_id"], r["rank"]) for r in out[3][1]["results"]]
+    assert len(top2) <= 2 and top5[: len(top2)] == top2
+    assert out[1][0] == 200 and len(out[1][1]["results"]) <= 5
+    # every good response carries snippets from the corpus join
+    for i in (0, 1, 3):
+        if out[i][1]["results"]:
+            assert "snippet" in out[i][1]["results"][0]
