@@ -534,6 +534,229 @@ def q_compaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(engine, "dup small", SearchMode.OR, 20)
 
 
+def q_search_or_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged OR-search contract (r5): one driver row hash-checks the
+    same ranked BM25 OR retrieval on BOTH layouts — the fresh batch
+    build (``stage='fresh'``) and the streamed+compacted+vacuumed index
+    (``stage='compacted'``).  Compaction moves rows between files, never
+    changes answers, so the oracle is the OR SQL emitted once per stage.
+    The split ``q_search_or`` / ``q_compaction_search`` stay as unit
+    fixtures."""
+    fresh = q_search_or(spark, sf_dir).select(
+        F.lit("fresh").alias("stage"), "doc_id", "score"
+    )
+    comp = q_compaction_search(spark, sf_dir).select(
+        F.lit("compacted").alias("stage"), "doc_id", "score"
+    )
+    return fresh.unionAll(comp)
+
+
+SQL_SEARCH_OR_STAGED = (
+    _SCORE_CTES
+    + f""",
+ranked AS (
+  SELECT c.doc_id,
+         round({_score_chain(["dup", "small"])}, 6)::DOUBLE AS score
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE tok IN ('dup', 'small')) c
+  JOIN dl d ON d.doc_id = c.doc_id, st
+  ORDER BY {_score_chain(["dup", "small"])} DESC, c.doc_id
+  LIMIT 20
+)
+SELECT 'fresh' AS stage, doc_id, score FROM ranked
+UNION ALL
+SELECT 'compacted' AS stage, doc_id, score FROM ranked
+"""
+)
+
+
+# ------------------------------------------------ IDF-pruning contract
+#
+# Every other search contract disables IDF pruning (the synthetic
+# vocabulary is tiny, so nearly every term would prune); this one runs
+# the reference's DEFAULT threshold 1.5 (inverted_index.py:1094) over
+# the same index — idf_threshold is query-compile-time config, not an
+# index-layout field — and hash-checks the full sentinel rule matrix
+# (plan.py docstring) against a SQL twin that derives each pruning
+# decision from the data itself:
+#
+# * a pruned term is dropped from AND/OR inputs but contributes a df
+#   ENTRY of 1 (``len((-1,)) == 1``), so the per-query-token IDF list
+#   misaligns against the kept tf columns: in ``batch dup`` (batch
+#   pruned) the dup column is scored with ln((n-0.5)/1.5), the idf of
+#   df-entry 1 — while in ``dup batch`` dup pairs with its own idf;
+# * an all-pruned top level is empty (pinned deviation 3);
+# * NOT over a pruned child excludes nothing -> ALL docs, score 0.
+
+PRUNE_TH = 1.5  # reference default (inverted_index.py:1094)
+
+PRUNED_CONFIG = EngineConfig(
+    tokenizer="simple",
+    idf_threshold=PRUNE_TH,
+    chunk_docs=1024,
+    chunks_per_batch=8,
+    n_term_buckets=8,
+    block_docs=128,
+)
+
+
+def _fl_ctes(name: str, t1: str, t2: str) -> str:
+    """Per-arm CTE pair ``{name}0``/``{name}``: token dfs + prune flags
+    for a two-token query (a term prunes iff present AND idf < 1.5)."""
+    return f"""
+{name}0 AS (
+  SELECT st.n AS n, st.avgdl AS avgdl,
+         COALESCE((SELECT df FROM dfs WHERE tok = '{t1}'), 0) AS df1,
+         COALESCE((SELECT df FROM dfs WHERE tok = '{t2}'), 0) AS df2
+  FROM st
+),
+{name} AS (
+  SELECT *,
+         (df1 > 0 AND ln((n - df1 + 0.5) / (df1 + 0.5)) < {PRUNE_TH}) AS p1,
+         (df2 > 0 AND ln((n - df2 + 0.5) / (df2 + 0.5)) < {PRUNE_TH}) AS p2
+  FROM {name}0
+)"""
+
+
+def _idf_entry_sql(fl: str, df: str, pruned: str) -> str:
+    """IDF over a query token's df ENTRY: pruned -> 1 (len((-1,))),
+    missing -> 0 (plan.py df bookkeeping)."""
+    e = (
+        f"(CASE WHEN {fl}.{df} = 0 THEN 0 "
+        f"WHEN {fl}.{pruned} THEN 1 ELSE {fl}.{df} END)"
+    )
+    return f"ln(({fl}.n - {e} + 0.5) / ({e} + 0.5))"
+
+
+def _contrib_idf_sql(fl: str, term: str, idf_sql: str) -> str:
+    """BM25 contribution of ``term`` for doc c with an EXPLICIT idf
+    factor — the engine zips kept tf columns against query-token-order
+    idf entries, so a pruned earlier token shifts which idf scores a
+    later column."""
+    w = f"(tf.tf / ((1.0 - {B}) + {B} * (d.dl / {fl}.avgdl)))"
+    return f"""
+      COALESCE((
+        SELECT {idf_sql} * ({w} * ({K1} + 1.0)) / ({w} + {K1})
+        FROM tf
+        WHERE tf.doc_id = c.doc_id AND tf.tok = '{term}'
+      ), 0.0)"""
+
+
+def _pruned_score_sql(fl: str, t1: str, t2: str) -> str:
+    """Sentinel zip-scoring for a two-token AND/OR: kept column i pairs
+    with df-entry idf i, truncating at the shorter list."""
+    idf1 = _idf_entry_sql(fl, "df1", "p1")
+    idf2 = _idf_entry_sql(fl, "df2", "p2")
+    return f"""CASE
+        WHEN NOT {fl}.p1 AND NOT {fl}.p2
+          THEN ({_contrib_idf_sql(fl, t1, idf1)} + {_contrib_idf_sql(fl, t2, idf2)})
+        WHEN {fl}.p1 AND NOT {fl}.p2 THEN {_contrib_idf_sql(fl, t2, idf1)}
+        WHEN NOT {fl}.p1 AND {fl}.p2 THEN {_contrib_idf_sql(fl, t1, idf1)}
+        ELSE 0.0 END"""
+
+
+def _pruned_or_arm(stage: str, fl: str, t1: str, t2: str) -> str:
+    score = _pruned_score_sql(fl, t1, t2)
+    return f"""(
+SELECT '{stage}' AS stage, c.doc_id, round({score}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT tf.doc_id FROM tf, {fl}
+      WHERE (tf.tok = '{t1}' AND NOT {fl}.p1)
+         OR (tf.tok = '{t2}' AND NOT {fl}.p2)) c
+JOIN dl d ON d.doc_id = c.doc_id, {fl}
+ORDER BY {score} DESC, c.doc_id
+LIMIT 20
+)"""
+
+
+def _pruned_and_arm(stage: str, fl: str, t1: str, t2: str) -> str:
+    score = _pruned_score_sql(fl, t1, t2)
+    return f"""(
+SELECT '{stage}' AS stage, c.doc_id, round({score}, 6)::DOUBLE AS score
+FROM (SELECT DISTINCT t.doc_id FROM tf t, {fl}
+      WHERE {fl}.df1 > 0 AND {fl}.df2 > 0 AND NOT ({fl}.p1 AND {fl}.p2)
+        AND ((({fl}.p1) AND t.tok = '{t2}')
+          OR (({fl}.p2) AND t.tok = '{t1}')
+          OR (NOT {fl}.p1 AND NOT {fl}.p2 AND t.tok = '{t1}'
+              AND EXISTS (SELECT 1 FROM tf t2
+                          WHERE t2.doc_id = t.doc_id
+                            AND t2.tok = '{t2}')))) c
+JOIN dl d ON d.doc_id = c.doc_id, {fl}
+ORDER BY {score} DESC, c.doc_id
+LIMIT 20
+)"""
+
+
+SQL_SEARCH_IDF_PRUNED = (
+    _SCORE_CTES
+    + ","
+    + _fl_ctes("fl_a", "batch", "dup")
+    + ","
+    + _fl_ctes("fl_b", "dup", "batch")
+    + ","
+    + _fl_ctes("fl_c", "batch", "stream")
+    + "\n"
+    + _pruned_or_arm("or_pruned_first", "fl_a", "batch", "dup")
+    + "\nUNION ALL\n"
+    + _pruned_or_arm("or_pruned_second", "fl_b", "dup", "batch")
+    + "\nUNION ALL\n"
+    + _pruned_and_arm("and_pruned", "fl_a", "batch", "dup")
+    + "\nUNION ALL\n"
+    + _pruned_or_arm("or_all_pruned", "fl_c", "batch", "stream")
+    + """
+UNION ALL
+(
+SELECT 'not_pruned' AS stage, doc_id, 0.0::DOUBLE AS score
+FROM documents, fl_a
+WHERE fl_a.p1 OR fl_a.df1 = 0
+   OR doc_id NOT IN (SELECT doc_id FROM tf WHERE tok = 'batch')
+ORDER BY doc_id
+LIMIT 20
+)
+"""
+)
+
+
+def q_search_idf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel rule matrix at the reference's default idf_threshold=1.5
+    over the shared contract index (pruning is query-compile config, so
+    the pruned-mode engine is a second view over the SAME index).  On
+    the driver testdata every probe term except ``dup`` has df > n/5.5
+    and prunes, so each arm is live:
+
+    * ``or_pruned_first``  — ``batch dup`` OR: batch prunes, dup scored
+      with the MISALIGNED idf of df-entry 1 (reference zip-truncation);
+    * ``or_pruned_second`` — ``dup batch`` OR: dup pairs with its own idf;
+    * ``and_pruned``       — ``batch dup`` AND: sentinel dropped from the
+      intersection, same misaligned scoring;
+    * ``or_all_pruned``    — ``batch stream`` OR: all-pruned -> empty;
+    * ``not_pruned``       — NOT batch: pruned child excludes nothing ->
+      ALL docs at score 0."""
+    base = get_engine(spark, sf_dir)
+    key = f"{os.path.abspath(sf_dir)}|pruned-view"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        from search_engine_spark.query.engine import SearchEngine
+
+        eng = SearchEngine(spark, str(base.store.dir), PRUNED_CONFIG)
+        _ENGINES[key] = eng
+    arms = [
+        ("or_pruned_first", "batch dup", SearchMode.OR),
+        ("or_pruned_second", "dup batch", SearchMode.OR),
+        ("and_pruned", "batch dup", SearchMode.AND),
+        ("or_all_pruned", "batch stream", SearchMode.OR),
+        ("not_pruned", "batch", SearchMode.NOT),
+    ]
+    parts = [
+        _ranked(eng, q, m, 20).select(
+            F.lit(stage).alias("stage"), "doc_id", "score"
+        )
+        for stage, q, m in arms
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # Contract-sized MLP head: same seeded-He architecture and forward path as
 # the production default (hidden=256), shrunk so the oracle SQL can inline
 # every weight as a literal (10x16 + 16x16 + 16x1 = 448 doubles).
@@ -1468,7 +1691,13 @@ def ordered_sql(sql: str) -> str:
 
 CORE_QUERIES = {
     "streaming_ingest_docs": (q_streaming_docs, SQL_STREAMING_DOCS),
-    "compaction_search_topk": (q_compaction_search, SQL_SEARCH_OR),
+    # merged OR contract (r5): fresh batch build + streamed/compacted
+    # layout in one driver row (same SQL per stage); the slot freed pays
+    # for search_idf_pruned_topk below
+    "search_or_compaction_topk": (
+        q_search_or_compaction, SQL_SEARCH_OR_STAGED,
+    ),
+    "search_idf_pruned_topk": (q_search_idf_pruned, SQL_SEARCH_IDF_PRUNED),
     "search_code_tokenizer_topk": (q_search_code, SQL_SEARCH_CODE),
     "search_rerank_topk": (q_search_rerank, _sql_search_rerank()),
     "csv_corpus_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
@@ -1481,7 +1710,6 @@ CORE_QUERIES = {
     "docs_table": (q_docs_table, SQL_DOCS_TABLE),
     "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
     "term_df": (q_term_df, SQL_TERM_DF),
-    "search_or_topk": (q_search_or, SQL_SEARCH_OR),
     "search_and_topk": (q_search_and, SQL_SEARCH_AND),
     "search_phrase_topk": (q_search_phrase, SQL_SEARCH_PHRASE),
     "search_not_topk": (q_search_not, SQL_SEARCH_NOT),
