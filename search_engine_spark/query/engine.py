@@ -118,6 +118,9 @@ class SearchEngine:
         self._postings = self.store.read_postings()
         self._doclens = self.store.read_doclens().cache()
         self._corrector = None
+        # WAND skip-rate diagnostics: off by default (accumulator traffic
+        # per task is tiny but nonzero); enable_wand_stats() turns it on
+        self._wand_acc = None
         # pending tombstones (logical deletes awaiting compaction): one
         # sorted id array per touched chunk, left-joined onto the doclens
         # cogroup side so the kernel drops the ids from the chunk's doc
@@ -223,6 +226,39 @@ class SearchEngine:
 
     # ----- execution -----
 
+    def enable_wand_stats(self) -> None:
+        """Turn on WAND segment counters for subsequent queries.
+
+        Counts flow back through Spark accumulators from every chunk
+        kernel; read them with :meth:`wand_stats`.  Diagnostic only:
+        task retries/speculation may double-count, so the numbers
+        evidence pruning behavior, they are not exact query metadata."""
+        sc = self.spark.sparkContext
+        self._wand_acc = (sc.accumulator(0), sc.accumulator(0))
+
+    def reset_wand_stats(self) -> None:
+        """Zero the counters (e.g. between benchmarked queries)."""
+        if self._wand_acc is not None:
+            self.enable_wand_stats()
+
+    def wand_stats(self) -> dict:
+        """Cumulative WAND sweep counters since enable/reset.
+
+        ``segments_total``: segments in the union block grid of every
+        (chunk, plan) WAND invocation; ``segments_scored``: how many the
+        ub-descending sweep consumed before the θ-cutoff fired;
+        ``skip_rate``: fraction of segments proven unable to place a
+        top-k doc and never gathered/scored."""
+        if self._wand_acc is None:
+            raise RuntimeError("call enable_wand_stats() first")
+        total = int(self._wand_acc[0].value)
+        scored = int(self._wand_acc[1].value)
+        return {
+            "segments_total": total,
+            "segments_scored": scored,
+            "skip_rate": round(1.0 - scored / total, 4) if total else 0.0,
+        }
+
     def execute(
         self,
         plans: list[CompiledQuery],
@@ -290,6 +326,7 @@ class SearchEngine:
             self.config.b,
             self.config.title_weight,
             use_wand=use_wand,
+            wand_accumulators=self._wand_acc,
         )
         per_chunk = (
             postings.groupby("chunk_id")

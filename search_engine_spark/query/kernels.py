@@ -289,6 +289,7 @@ def run_plans_on_chunk(
     b: float,
     title_weight: float,
     use_wand: bool = True,
+    wand_counters: dict | None = None,
 ) -> pd.DataFrame:
     """Evaluate every compiled query against one chunk's postings."""
     from search_engine_spark.query.wand import wand_topk
@@ -348,6 +349,7 @@ def run_plans_on_chunk(
             docs, scores = wand_topk(
                 plan, terms, chunk, stats, k1, b, title_weight,
                 deleted=deleted, allowed=allowed,
+                counters=wand_counters,
             )
         else:
             matched = eval_tree(plan.tree, terms, chunk)
@@ -392,13 +394,30 @@ def make_query_kernel(
     b: float,
     title_weight: float,
     use_wand: bool = True,
+    wand_accumulators: tuple | None = None,
 ):
-    """cogroup(postings-by-chunk, doclens-by-chunk).applyInPandas function."""
+    """cogroup(postings-by-chunk, doclens-by-chunk).applyInPandas function.
+
+    ``wand_accumulators``: optional ``(segments_total, segments_scored)``
+    pair of Spark accumulators; each kernel invocation flushes its
+    chunk-local WAND sweep counters into them.  Diagnostic only (task
+    retries may double-count) — used to evidence the block-max skip rate
+    on skewed workloads, never for correctness."""
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return run_plans_on_chunk(
-            plans, left, right, stats, k1, b, title_weight, use_wand=use_wand
+        counters: dict | None = (
+            {"segments_total": 0, "segments_scored": 0}
+            if wand_accumulators is not None
+            else None
         )
+        out = run_plans_on_chunk(
+            plans, left, right, stats, k1, b, title_weight,
+            use_wand=use_wand, wand_counters=counters,
+        )
+        if counters is not None:
+            wand_accumulators[0].add(counters["segments_total"])
+            wand_accumulators[1].add(counters["segments_scored"])
+        return out
 
     return kernel
 

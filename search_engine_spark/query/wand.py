@@ -87,6 +87,7 @@ def wand_topk(
     title_weight: float,
     deleted: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    counters: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """``deleted`` (tombstoned ids) / ``allowed`` (metadata-filter ids):
     candidates are dropped per segment BEFORE scoring, so the pool and
@@ -94,7 +95,14 @@ def wand_topk(
     over the unfiltered postings remain VALID upper bounds (removing
     docs can only lower a block's true max), just looser — a segment is
     skipped only when even its unfiltered bound is below θ, so pruning
-    under deletions stays rank-identical, merely less aggressive."""
+    under deletions stays rank-identical, merely less aggressive.
+
+    ``counters`` (diagnostic, optional): a dict whose
+    ``segments_total`` / ``segments_scored`` entries are incremented by
+    this chunk's segment count and the number of segments the sweep
+    actually consumed before the θ-cutoff.  The skip rate
+    ``1 - scored/total`` is the direct evidence that block-max pruning
+    fired (vs merely not losing) on a given workload."""
     tree_terms = [t for t in _tree_terms(plan) if t in terms]
     if not tree_terms:
         return _EMPTY_I64, _EMPTY_F64
@@ -113,7 +121,16 @@ def wand_topk(
     seg_lo = np.concatenate(([np.int64(-1)], bounds[:-1]))  # (lo, hi] spans
 
     # ---- per-segment upper bound: sum over scored columns of the ub of
-    # the block the segment falls in
+    # the block the segment falls in — but ONLY where the column actually
+    # has a posting inside the segment (two searchsorted per term).  A
+    # term contributes exactly 0 to any doc outside its posting list, so
+    # masking it out of posting-free segments keeps the bound valid while
+    # removing the dominant looseness for sparse terms: a low-df term's
+    # 32-posting block can span the whole chunk's doc-id range, and
+    # without the mask every segment inherits its (often large, high-idf)
+    # block ub, which defeats pruning on the idf-skewed rare-OR-common
+    # queries where WAND matters most.  This is Block-Max WAND's live
+    # block check, vectorized over the segment grid.
     seg_ub = np.zeros(n_seg, dtype=np.float64)
     for j, col in enumerate(cols):
         if col[0] != "term" or col[1] not in terms:
@@ -121,8 +138,12 @@ def wand_topk(
         tc = terms[col[1]]
         ub = _block_ubs(tc, float(idfs[j]), avg_dl, avg_tl, k1, b, title_weight)
         blk_idx = np.searchsorted(tc.blk_last, bounds, side="left")
-        valid = blk_idx < tc.blk_last.size
-        seg_ub[valid] += ub[np.minimum(blk_idx, tc.blk_last.size - 1)][valid]
+        live = (
+            np.searchsorted(tc.docs, bounds, side="right")
+            > np.searchsorted(tc.docs, seg_lo, side="right")
+        )
+        mask = (blk_idx < tc.blk_last.size) & live
+        seg_ub[mask] += ub[np.minimum(blk_idx, tc.blk_last.size - 1)][mask]
 
     order = np.argsort(-seg_ub, kind="stable")
     K = plan.num_candidates
@@ -193,5 +214,12 @@ def wand_topk(
         if pool_docs.size >= K:
             theta = float(np.min(pool_scores))
 
+    if counters is not None:
+        counters["segments_total"] = (
+            counters.get("segments_total", 0) + int(n_seg)
+        )
+        counters["segments_scored"] = (
+            counters.get("segments_scored", 0) + int(i)
+        )
     final = np.lexsort((pool_docs, -pool_scores))[:K]
     return pool_docs[final], pool_scores[final]

@@ -86,6 +86,28 @@ def test_single_query_path(setup):
     _assert_rank_identical(got, ref_top, "single AND")
 
 
+def test_wand_stats_counters(setup):
+    """The skip-rate diagnostic counts segments, flows back through the
+    chunk kernels' accumulators, and only the WAND path feeds it."""
+    engine, oracle = setup
+    engine.enable_wand_stats()
+    try:
+        got = engine.search("zqmerge zqshard", SearchMode.OR).collect()
+        assert got  # non-empty so the kernel actually swept
+        s = engine.wand_stats()
+        assert s["segments_total"] >= s["segments_scored"] > 0
+        assert 0.0 <= s["skip_rate"] < 1.0
+        engine.reset_wand_stats()
+        assert engine.wand_stats() == {
+            "segments_total": 0, "segments_scored": 0, "skip_rate": 0.0
+        }
+        # exhaustive path never touches the WAND sweep
+        engine.search("zqmerge zqshard", SearchMode.OR, use_wand=False).collect()
+        assert engine.wand_stats()["segments_total"] == 0
+    finally:
+        engine._wand_acc = None
+
+
 def test_wand_equals_exhaustive_random_or(setup):
     """Property: block-max WAND == exhaustive on randomized OR queries."""
     engine, oracle = setup
