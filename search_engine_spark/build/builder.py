@@ -75,7 +75,9 @@ class IndexBuilder:
         if not overwrite and os.path.isdir(self.store.docs_path):
             return  # phase A is itself a checkpoint
         n_in = corpus.count()
-        with_ids = assign_doc_ids(corpus)
+        # n_in sizes the range partitions so each per-partition id sort
+        # stays in-memory regardless of corpus size (see assign_doc_ids)
+        with_ids = assign_doc_ids(corpus, n_rows=n_in)
         # doc/title token lengths are NOT computed here — the batch phase
         # tokenizes exactly once and emits doclens through the posting
         # shuffle (reserved term "", build/kernels.py)

@@ -90,8 +90,21 @@ def load_corpus_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# Range-partition width for dense-id assignment.  Each range partition
+# is sorted in one task (row_number window), so partition row count —
+# not corpus size — sets that task's memory; pinning partitions to core
+# count made the sort superlinear once partitions outgrew executor
+# memory (measured: docs phase 50 s @20.48M -> 163 s @40.96M with 32
+# fixed partitions).  2^18 rows keeps the per-task sort comfortably
+# in-memory at any corpus size; the count pass build_docs already runs
+# supplies n_rows for free.
+ID_ASSIGN_ROWS_PER_PARTITION = 1 << 18
+
+
 def assign_doc_ids(
-    corpus: DataFrame, n_partitions: int | None = None
+    corpus: DataFrame,
+    n_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Adds dense ``doc_id`` (0..N-1 in (repo, path, commit) order) and
     ``sha256`` (per-row invariant vs the source corpus).
@@ -107,6 +120,11 @@ def assign_doc_ids(
     spark = corpus.sparkSession
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
+        if n_rows is not None:
+            n_partitions = max(
+                n_partitions,
+                -(-n_rows // ID_ASSIGN_ROWS_PER_PARTITION),
+            )
     ranged = corpus.repartitionByRange(n_partitions, *SORT_KEYS).withColumn(
         "_pid", F.spark_partition_id()
     )
