@@ -696,8 +696,28 @@ class IndexBuilder:
                 )
             )
             postings = untouched.unionByName(purged)
+        # Output file sizing: hash-repartitioning on bucket alone writes
+        # ONE file per bucket, and at B-posting scale a ~GB file per
+        # bucket costs query-scan parallelism and row-group selectivity
+        # (measured at 2.15B postings: headline p50 4.6 s on the
+        # batch-granular layout vs 5.7 s on one-file-per-bucket).  Range
+        # partitioning on (bucket, term, chunk_id) keeps every file
+        # term-sorted inside its bucket dir (min/max + bloom pruning
+        # intact) while splitting each bucket into ~128 MB files, sized
+        # from the lineage byte sum the same way id assignment sizes its
+        # sort partitions.
+        bytes_total = int(
+            self.store.read_lineage_committed()
+            .agg(F.sum("bytes_postings"))
+            .head()[0]
+            or 0
+        )
+        n_out = max(
+            self.spark.sparkContext.defaultParallelism,
+            -(-bytes_total // (128 << 20)),
+        )
         (
-            postings.repartition("bucket")
+            postings.repartitionByRange(n_out, "bucket", "term", "chunk_id")
             .sortWithinPartitions("term", "chunk_id")
             .write.mode("overwrite")
             .option("parquet.bloom.filter.enabled#term", "true")
