@@ -389,6 +389,46 @@ def _serve_bench(spark, index_dir: str, cfg) -> dict:
                     clients * per_client / wall, 2
                 )
                 out[f"concurrent_{clients}_wall_sec"] = round(wall, 3)
+
+        # the runs above repeat 4 queries, so the serving result cache
+        # (snapshot-scoped, serve.py) absorbs most of them — the realistic
+        # Zipf-log regime.  Also measure the cache-COLD regime: 16 clients
+        # x 3 requests, all 48 queries distinct, so every request rides a
+        # micro-batched Spark job.
+        terms = [
+            "dup", "small", "scan", "merge", "sort",
+            "line", "group", "join", "order",
+        ]
+        distinct = [
+            f"{terms[a]} {terms[b]}"
+            for a in range(len(terms))
+            for b in range(len(terms))
+            if a != b
+        ][:48]
+        errs = []
+
+        def worker_distinct(ci: int) -> None:
+            try:
+                for j in range(3):
+                    one(distinct[ci * 3 + j])
+            except Exception as e:  # pragma: no cover
+                errs.append(repr(e))
+
+        t = time.time()
+        threads = [
+            threading.Thread(target=worker_distinct, args=(c,))
+            for c in range(16)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t
+        if errs:
+            out["concurrent_16_distinct_error"] = errs[0]
+        else:
+            out["concurrent_16_distinct_rps"] = round(48 / wall, 2)
+            out["concurrent_16_distinct_wall_sec"] = round(wall, 3)
     finally:
         srv.shutdown()
         srv.server_close()
@@ -1066,6 +1106,7 @@ def main() -> None:
         # else lives in detail_file
         "serve_warm_p50_sec": _g("serve", "warm_request_p50_sec"),
         "serve_16_clients_rps": _g("serve", "concurrent_16_rps"),
+        "serve_16_distinct_rps": _g("serve", "concurrent_16_distinct_rps"),
         "upsert_docs_per_sec": _g("upsert", "upsert_docs_per_sec"),
         "dedup_exact_rows_per_sec": _g(
             "pipeline_scale", "dedup_exact_rows_per_sec"

@@ -132,6 +132,57 @@ def test_concurrent_requests(served):
         assert [(r["doc_id"], r["rank"]) for r in body["results"]] == first
 
 
+def test_result_cache_hits_and_k_semantics(served):
+    """The snapshot-scoped result cache: a repeated (query, mode) costs
+    zero Spark jobs and returns identical rows; a smaller k is served as
+    the cached prefix; a larger k misses and recomputes deeper."""
+    spark, index_dir, _base = served
+    svc = SearchService(spark, index_dir, CFG)
+    calls = []
+    orig = svc.engine.search_batch
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    svc.engine.search_batch = counting
+    first = svc.search({"q": "zqmerge zqshard", "mode": "OR", "k": 5})
+    assert len(calls) == 1
+    again = svc.search({"q": "zqmerge zqshard", "mode": "OR", "k": 5})
+    assert len(calls) == 1  # cache hit: no new Spark batch
+    assert again["results"] == first["results"]
+    # smaller k = prefix of the cached result, still no new job
+    k2 = svc.search({"q": "zqmerge zqshard", "mode": "OR", "k": 2})
+    assert len(calls) == 1
+    assert k2["results"] == first["results"][:2]
+    # larger k misses (cached depth insufficient) and recomputes
+    k9 = svc.search({"q": "zqmerge zqshard", "mode": "OR", "k": 9})
+    assert len(calls) == 2
+    assert [r["doc_id"] for r in k9["results"][:5]] == [
+        r["doc_id"] for r in first["results"]
+    ]
+    # ...after which the deeper entry serves the old k again
+    svc.search({"q": "zqmerge zqshard", "mode": "OR", "k": 5})
+    assert len(calls) == 2
+
+
+def test_result_cache_disabled(served):
+    spark, index_dir, _base = served
+    svc = SearchService(spark, index_dir, CFG, result_cache_size=0)
+    calls = []
+    orig = svc.engine.search_batch
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    svc.engine.search_batch = counting
+    r1 = svc.search({"q": "zqmerge", "mode": "AND", "k": 3})
+    r2 = svc.search({"q": "zqmerge", "mode": "AND", "k": 3})
+    assert len(calls) == 2  # every request pays a job when disabled
+    assert r1["results"] == r2["results"]
+
+
 def test_micro_batch_mixed_k_and_bad_query_isolation(served):
     """Concurrent requests ride one micro-batched search_batch job; a
     request's k is honored via the rank<=k prefix even when batch-mates
