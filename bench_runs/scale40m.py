@@ -52,6 +52,10 @@ def build_session():
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.task.cpus", "2")
+        # persisted/spilled rdd blocks compressed — the id-assignment
+        # persist spills at 9-figure doc counts; raw java-serialized
+        # spill blocks were a disk-budget hazard at 163.84M docs
+        .config("spark.rdd.compress", "true")
         .getOrCreate()
     )
 
@@ -113,13 +117,27 @@ builder = IndexBuilder(spark, index_dir, cfg)
 t0 = time.time()
 builder.build_docs(corpus)
 docs_wall = time.time() - t0
+# phase-isolated sessions: build_docs is its own checkpoint (docs/ on
+# disk), so restarting the session here drops ALL of phase A's scratch
+# (id-shuffle files + the assign_doc_ids persist) before phase B starts
+# accumulating its own — the single-disk mirror of per-phase executor
+# fleets.  Phase walls exclude the ~10 s restart (reported separately).
+spark.stop()
+t1 = time.time()
+spark = build_session()
+spark.sparkContext.setLogLevel("ERROR")
+restart_wall = time.time() - t1
+corpus = spark.read.parquet(corpus_path)
+builder = IndexBuilder(spark, index_dir, cfg)
 t1 = time.time()
 metrics = builder.build_postings(corpus, resume=False)
 postings_wall = time.time() - t1
 t1 = time.time()
 builder.finalize()
 finalize_wall = time.time() - t1
-build_wall = time.time() - t0
+# comparable with the no-restart 20M/40M/80M notches: the restart is
+# bench-harness plumbing, not build work, and is reported separately
+build_wall = docs_wall + postings_wall + finalize_wall
 n_postings = sum(m["n_postings"] for m in metrics)
 n_bytes = sum(m.get("bytes_postings", 0) for m in metrics)
 print("build", round(build_wall, 1), "s;", len(metrics), "batches;",
@@ -152,6 +170,7 @@ out = {
     "build_postings_per_sec": round(n_postings / build_wall, 1),
     "phases": {
         "docs_sec": round(docs_wall, 2),
+        "session_restart_sec": round(restart_wall, 2),
         "postings_sec": round(postings_wall, 2),
         "finalize_sec": round(finalize_wall, 2),
     },

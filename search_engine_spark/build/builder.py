@@ -76,8 +76,16 @@ class IndexBuilder:
             return  # phase A is itself a checkpoint
         n_in = corpus.count()
         # n_in sizes the range partitions so each per-partition id sort
-        # stays in-memory regardless of corpus size (see assign_doc_ids)
-        with_ids = assign_doc_ids(corpus, n_rows=n_in)
+        # stays in-memory regardless of corpus size (see assign_doc_ids).
+        # sha256 is a per-row map — computing it BEFORE the id shuffle and
+        # dropping content means the range shuffle + persist move ~150-byte
+        # key rows, not whole documents (the docs table never stores
+        # content; the batch phase re-reads it from the corpus source).
+        slim = corpus.select(
+            "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
+        with_ids = assign_doc_ids(slim, n_rows=n_in)
         # doc/title token lengths are NOT computed here — the batch phase
         # tokenizes exactly once and emits doclens through the posting
         # shuffle (reserved term "", build/kernels.py)

@@ -109,6 +109,16 @@ def assign_doc_ids(
     """Adds dense ``doc_id`` (0..N-1 in (repo, path, commit) order) and
     ``sha256`` (per-row invariant vs the source corpus).
 
+    If the input already carries a ``sha256`` column it is trusted and
+    ``content`` is not required.  Bulk callers exploit this: hashing is a
+    per-row map, so computing ``sha256`` *before* this function and
+    projecting ``content`` away means the range shuffle (and the persist
+    below) moves ~150-byte key rows instead of whole documents — at
+    100 TB that is the difference between shuffling the corpus and
+    shuffling ~1% of it (measured: the full-row form filled 56 GB of
+    block-manager scratch at 163.84M docs and died; the slim form fits).
+    Per-row hashes are shuffle-invariant, so the output is bit-identical.
+
     The ranged DataFrame is persisted before the counts pass: range
     partitioning samples its boundaries, and two *separate* evaluations of
     the same plan can pick different boundaries — the offsets from pass 1
@@ -139,10 +149,11 @@ def assign_doc_ids(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
     w = Window.partitionBy("_pid").orderBy(*SORT_KEYS)
-    return (
+    out = (
         ranged.withColumn("_rn", F.row_number().over(w).cast("long") - 1)
         .join(F.broadcast(offset_df), "_pid")
         .withColumn("doc_id", F.col("_offset") + F.col("_rn"))
-        .withColumn("sha256", F.sha2(F.col("content"), 256))
-        .drop("_pid", "_rn", "_offset")
     )
+    if "sha256" not in corpus.columns:
+        out = out.withColumn("sha256", F.sha2(F.col("content"), 256))
+    return out.drop("_pid", "_rn", "_offset")
