@@ -1127,9 +1127,10 @@ def main() -> None:
         "query_p50_sec": detail["query_p50_sec"],
         "query_p99_sec": detail["query_p99_sec"],
         **{k: v for k, v in headline.items() if v is not None},
-        "scale_anchor": "40.96M docs / 1.075B postings 71.0k docs/s "
-        "(bench_runs/r5_scale40m.json); 20.48M 88.4k (r4_scale20m.json); "
-        "WAND skip rates 0.65/0.50 on idf-skewed ORs (r5_zipf_wand.json)",
+        "scale_anchor": "163.84M docs / 4.30B postings 76.9k docs/s "
+        "(bench_runs/r5_scale160m.json); 81.92M 77.6k (r5_scale80m.json); "
+        "ladder 61.8k@20.48M->71.0k->77.6k->76.9k flat; WAND skip "
+        "0.65/0.50 on idf-skewed ORs (r5_zipf_wand_10m.json)",
         # N-vs-4N scaling efficiency is measured by `bench.py --scaling`
         # (long run, 1.28M docs); the per-round artifacts live in
         # bench_runs/ and are tabulated in BASELINE.md
