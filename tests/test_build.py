@@ -355,3 +355,27 @@ def test_concurrent_batches_equal_serial(spark, tmp_path):
         )
 
     assert fingerprint(b_con.store) == fingerprint(b_ser.store)
+
+
+def test_assign_doc_ids_trusts_precomputed_sha(spark):
+    """The slim bulk path (sha256 computed before the id shuffle, content
+    projected away) must be bit-identical to the full-row path — per-row
+    hashes are shuffle-invariant, so only the shuffled bytes differ."""
+    from search_engine_spark.sources.corpus import assign_doc_ids
+
+    rows = synth_corpus(n_docs=120, seed=7)
+    full = spark.createDataFrame(rows)
+    out_full = assign_doc_ids(full).select(
+        "doc_id", "repo", "path", "commit", "sha256"
+    )
+    slim = full.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )
+    out_slim = assign_doc_ids(slim).select(
+        "doc_id", "repo", "path", "commit", "sha256"
+    )
+    assert "content" not in out_slim.columns  # content never re-enters
+    a = sorted(tuple(r) for r in out_full.collect())
+    b = sorted(tuple(r) for r in out_slim.collect())
+    assert a == b
